@@ -1,0 +1,173 @@
+"""Lexicographically-ordered varint codec.
+
+Byte-level parity with the reference codec
+(/root/reference/fts-lmdb.go:1723-1780; width table README.org:216-225):
+
+    0xxxxxxx                      0 .. 127            (1 byte)
+    1000xxxx X                    128 .. 4095         (2 bytes)
+    1001xxxx X X                  .. 1048575          (3 bytes)
+    ...                           (prefix nibble encodes total width)
+    1111---- X X X X X X X X      .. 2**64-1          (9 bytes)
+
+Encoded values compare correctly as raw bytes. Scalar functions are
+the spec/parity surface; `encode_array`/`decode_array` are the
+vectorized numpy paths used inside posting-blob encode/decode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def num_size(n: int) -> int:
+    """Reference numSize (fts-lmdb.go:1723-1730)."""
+    if n < 1 << 7:
+        return 1
+    offset = 0
+    tmp = n >> 12
+    while tmp > 0:
+        offset += 1
+        tmp >>= 8
+    return offset + 2
+
+
+def put_num(n: int) -> bytes:
+    """Reference putNum (fts-lmdb.go:1733-1752); returns the encoding."""
+    if n < 0 or n >= 1 << 64:
+        raise ValueError(f"varint out of range: {n}")
+    if n < 1 << 7:
+        return bytes([n])
+    offset = 0
+    tmp = n >> 12
+    while tmp > 0:
+        offset += 1
+        tmp >>= 8
+    out = bytearray(offset + 2)
+    first = 0x80 | (offset << 4)
+    num = n
+    for i in range(offset + 1, 0, -1):
+        out[i] = num & 0xFF
+        num >>= 8
+    out[0] = first | (num & 0xF)
+    return bytes(out)
+
+
+def get_num(buf: bytes | memoryview, pos: int = 0) -> tuple[int, int]:
+    """Reference getNum (fts-lmdb.go:1770-1780): returns (value, next_pos)."""
+    b0 = buf[pos]
+    if b0 & 0x80 == 0:
+        return b0, pos + 1
+    width = ((b0 >> 4) & 0x7) + 2
+    result = b0 & 0xF
+    for i in range(1, width):
+        result = (result << 8) | buf[pos + i]
+    return result, pos + width
+
+
+def put_counted_bytes(data: bytes) -> bytes:
+    """Reference putCountedBytes (fts-lmdb.go:693-696)."""
+    return put_num(len(data)) + data
+
+
+def get_counted_bytes(buf: bytes | memoryview, pos: int = 0) -> tuple[bytes, int]:
+    """Reference getCountedBytes (fts-lmdb.go:1755-1760)."""
+    n, pos = get_num(buf, pos)
+    return bytes(buf[pos : pos + n]), pos + n
+
+
+# ---------------------------------------------------------------------------
+# Vectorized array codec
+# ---------------------------------------------------------------------------
+
+def sizes_array(vals: np.ndarray) -> np.ndarray:
+    """Encoded width (1..9 bytes) of each uint64 value, vectorized."""
+    v = vals.astype(np.uint64, copy=False)
+    w = np.ones(v.shape, dtype=np.int64)
+    big = v >= np.uint64(1 << 7)
+    # width = 2 + number of 8-bit shifts to exhaust (v >> 12)
+    tmp = v >> np.uint64(12)
+    extra = np.zeros(v.shape, dtype=np.int64)
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        extra[nz] += 1
+        tmp = tmp >> np.uint64(8)
+    w[big] = extra[big] + 2
+    return w
+
+
+def encode_array(vals: np.ndarray) -> bytes:
+    """Concatenated varint encodings of a uint64 array, vectorized."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    w = sizes_array(v)
+    ends = np.cumsum(w)
+    starts = ends - w
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    one = v < np.uint64(128)
+    out[starts[one]] = v[one].astype(np.uint8)
+    big = ~one
+    if big.any():
+        bw = w[big]  # total widths (2..9)
+        bs = starts[big]
+        bv = v[big]
+        # payload bytes: positions 1..width-1 hold the low (width-1)*8 bits,
+        # high-to-low; first byte = 0x80 | ((width-2)<<4) | 4 top bits
+        maxw = int(bw.max())
+        for i in range(1, maxw):
+            sel = bw > i
+            # byte at index i (from front) = bits shifted by 8*(width-1-i)
+            shift = ((bw[sel] - 1 - i) * 8).astype(np.uint64)
+            out[bs[sel] + i] = ((bv[sel] >> shift) & np.uint64(0xFF)).astype(np.uint8)
+        # first byte: remaining high bits after (width-1) payload bytes
+        shift = ((bw - 1) * 8).astype(np.uint64)
+        hi = np.where(bw == 9, np.uint64(0), (bv >> np.minimum(shift, np.uint64(63))))
+        # (shift==64 only when width==9; uint64 >> 64 is UB, handled above)
+        first = (
+            np.uint8(0x80)
+            | ((bw - 2).astype(np.uint8) << 4)
+            | (hi & np.uint64(0xF)).astype(np.uint8)
+        )
+        out[bs] = first
+    return out.tobytes()
+
+
+def decode_array(blob: bytes | memoryview, count: int) -> np.ndarray:
+    """Decode `count` concatenated varints to uint64, vectorized.
+
+    Boundary positions form a sequential chain (each width is read from
+    its first byte); the chain is materialized with pointer-doubling so
+    the whole decode stays in numpy: O(len(blob) * log(count)).
+    """
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    widths = np.where(raw & 0x80 == 0, 1, ((raw >> 4) & 0x7).astype(np.int64) + 2)
+    jump = np.minimum(np.arange(raw.size, dtype=np.int64) + widths, raw.size - 1)
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = 0
+    filled = 1
+    while filled < count:
+        take = min(filled, count - filled)
+        starts[filled : filled + take] = jump[starts[:take]]
+        filled += take
+        if filled < count:
+            jump = jump[jump]  # doubling: jump now advances 2x as far
+    w = widths[starts]
+    vals = np.zeros(count, dtype=np.uint64)
+    one = w == 1
+    vals[one] = raw[starts[one]]
+    big = ~one
+    if big.any():
+        bw = w[big]
+        bs = starts[big]
+        vals_b = (raw[bs] & np.uint64(0xF)).astype(np.uint64)
+        maxw = int(bw.max())
+        for i in range(1, maxw):
+            sel = bw > i
+            vals_b[sel] = (vals_b[sel] << np.uint64(8)) | raw[bs[sel] + i]
+        vals[big] = vals_b
+    return vals

@@ -1,0 +1,67 @@
+"""Posting-run codec tests (functions/postings.py)."""
+
+import numpy as np
+
+from microfts_ray.functions.postings import (
+    BLOCK,
+    decode_block_meta,
+    decode_run,
+    encode_run,
+    merge_runs,
+    PostingRun,
+)
+
+
+def _sorted_entries(rng, n, doc_lo=0, doc_hi=1 << 40):
+    doc = np.sort(rng.integers(doc_lo, doc_hi, size=n, dtype=np.uint64))
+    chk = rng.integers(0, 100, size=n, dtype=np.uint64)
+    order = np.lexsort((chk, doc))
+    return doc[order], chk[order]
+
+
+def test_roundtrip_and_df():
+    rng = np.random.default_rng(3)
+    doc, chk = _sorted_entries(rng, 1000)
+    tf = rng.integers(1, 50, size=1000, dtype=np.uint64)
+    dl = rng.integers(1, 500, size=1000, dtype=np.uint64)
+    row = encode_run(doc, chk, tf, dl)
+    assert row["n"] == 1000
+    assert row["df"] == len(np.unique(doc))
+    run = decode_run(row)
+    assert (run.doc_ids == doc).all()
+    assert (run.chunk_ids == chk).all()
+    assert (run.tfs == tf).all()
+    assert (run.dls == dl).all()
+
+
+def test_block_meta_bounds():
+    rng = np.random.default_rng(4)
+    n = 5 * BLOCK + 17
+    doc, chk = _sorted_entries(rng, n)
+    tf = rng.integers(1, 1000, size=n, dtype=np.uint64)
+    dl = rng.integers(1, 1000, size=n, dtype=np.uint64)
+    row = encode_run(doc, chk, tf, dl)
+    bmax_tf, bmin_dl = decode_block_meta(row)
+    assert bmax_tf.size == (n + BLOCK - 1) // BLOCK
+    for b in range(bmax_tf.size):
+        sl = slice(b * BLOCK, min((b + 1) * BLOCK, n))
+        assert bmax_tf[b] == tf[sl].max()
+        assert bmin_dl[b] == dl[sl].min()
+
+
+def test_merge_disjoint_runs():
+    rng = np.random.default_rng(5)
+    runs = []
+    for part in range(4):
+        doc, chk = _sorted_entries(rng, 200, doc_lo=part << 50, doc_hi=(part + 1) << 50)
+        tf = rng.integers(1, 9, size=200, dtype=np.uint64)
+        dl = rng.integers(1, 99, size=200, dtype=np.uint64)
+        runs.append(PostingRun(doc, chk, tf, dl))
+    merged = merge_runs(list(reversed(runs)))
+    assert len(merged) == 800
+    key = merged.doc_ids.astype(object) * 1000 + merged.chunk_ids.astype(object)
+    assert all(key[i] <= key[i + 1] for i in range(len(key) - 1))
+    # round-trip the merged run
+    row = encode_run(merged.doc_ids, merged.chunk_ids, merged.tfs, merged.dls)
+    back = decode_run(row)
+    assert (back.doc_ids == merged.doc_ids).all()
