@@ -1,0 +1,258 @@
+"""Index build pipeline (segment mode): the distributed write path.
+
+The reference's write path (/root/reference/fts-lmdb.go:509-523
+``cmdInput``) is a single-threaded groupby(gram) with an in-memory
+combine flushed in one LMDB transaction. The Ray-Data-native design
+(SURVEY.md §3.1, §7.1) makes each *input partition* an independent
+unit of work:
+
+    partition rows --map_batches--> tokenize (vectorized, zero-copy
+    Arrow in) --local groupby(term) (np.lexsort combine)--> encoded
+    posting runs --> segment Parquet (terms + docs sidecar) -->
+    atomic per-partition checkpoint
+
+There is NO global shuffle in this mode: posting runs from different
+partitions are doc-disjoint and are consolidated by the hierarchical
+merge stage (pipelines/merge.py) or k-way-merged at query time —
+LSM/Lucene-style. Hot-term skew therefore cannot blow up any single
+task: a term's per-partition run is bounded by the partition's chunk
+count. (The alternative salted groupby-term build lives in
+build_shuffle.py; see SURVEY.md §4 for the tradeoff.)
+
+Scale notes (100 TB / 10^12 files): partitions are parquet row-group
+ranges (~100-500 MB of content each); each build task streams its row
+groups, so peak memory is one partition's postings (~2-3x its text).
+Resume skips checkpointed partitions, so a failed run redoes only
+in-flight partitions. Doc ids are content-key hashes — no global
+coordination, any partition order.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..functions.postings import encode_run
+from ..state import manifest as mf
+from ..stages.tokenize import tokenize_corpus_batch
+
+TERMS_SCHEMA = pa.schema(
+    [
+        ("term", pa.int32()),
+        ("n", pa.int64()),
+        ("df", pa.int64()),
+        ("doc_blob", pa.large_binary()),
+        ("chunk_blob", pa.large_binary()),
+        ("tf_blob", pa.large_binary()),
+        ("dl_blob", pa.large_binary()),
+        ("bmax_tf_blob", pa.large_binary()),
+        ("bmin_dl_blob", pa.large_binary()),
+    ]
+)
+
+
+def _pkg_root() -> str:
+    """Directory containing the microfts_ray package (for worker
+    sys.path bootstrap)."""
+    import microfts_ray
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(microfts_ray.__file__)))
+
+
+def plan_partitions(
+    corpus_paths: list[str], target_rows_per_part: int = 4000
+) -> list[dict]:
+    """Deterministic build partitions = contiguous row-group ranges of
+    input parquet files. Partition identity (pid) is stable across
+    runs, which is what makes checkpoints addressable.
+    """
+    parts = []
+    for path in sorted(corpus_paths):
+        f = pq.ParquetFile(path)
+        n_rg = f.metadata.num_row_groups
+        rows = [f.metadata.row_group(i).num_rows for i in range(n_rg)]
+        base = os.path.basename(path).rsplit(".", 1)[0]
+        start = 0
+        while start < n_rg:
+            end, acc = start, 0
+            while end < n_rg and (acc == 0 or acc + rows[end] <= target_rows_per_part):
+                acc += rows[end]
+                end += 1
+            parts.append(
+                {
+                    "pid": f"{base}-rg{start:05d}-{end:05d}",
+                    "path": path,
+                    "rg_start": start,
+                    "rg_end": end,
+                    "num_rows": acc,
+                }
+            )
+            start = end
+    return parts
+
+
+def encode_partition_runs(entries: dict[str, np.ndarray]) -> pa.Table:
+    """Entries sorted by (term, doc_id, chunk_id) -> one encoded
+    posting-run row per term (TERMS_SCHEMA)."""
+    term = entries["term"]
+    if term.size == 0:
+        return TERMS_SCHEMA.empty_table()
+    bounds = np.nonzero(np.diff(term.astype(np.int32)))[0] + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [term.size]))
+    rows = {name: [] for name in TERMS_SCHEMA.names}
+    for s, e in zip(starts, ends):
+        enc = encode_run(
+            entries["doc_id"][s:e],
+            entries["chunk_id"][s:e],
+            entries["tf"][s:e],
+            entries["dl"][s:e],
+        )
+        rows["term"].append(int(term[s]))
+        for k, v in enc.items():
+            rows[k].append(v)
+    return pa.table(rows, schema=TERMS_SCHEMA)
+
+
+def build_partition(part: dict, index_dir: str, chunker: str = "lines") -> dict:
+    """Build one partition's segment; idempotent and atomic.
+
+    Returns the checkpoint entry (also persisted under _manifest/).
+    """
+    existing = mf.read_part_checkpoint(index_dir, part["pid"])
+    if existing is not None:
+        existing["resumed"] = True
+        return existing
+
+    t0 = time.perf_counter()
+    f = pq.ParquetFile(part["path"])
+    rgs = list(range(part["rg_start"], part["rg_end"]))
+    tbl = f.read_row_groups(
+        rgs, columns=["repo", "path", "commit", "lang", "content"]
+    )
+    entries, docs = tokenize_corpus_batch(tbl, chunker=chunker)
+    terms_tbl = encode_partition_runs(entries)
+    # lineage: which source row group each doc came from (query-side
+    # chunk-text recovery re-reads only that row group, J3)
+    rg_rows = [f.metadata.row_group(i).num_rows for i in rgs]
+    src_rg = np.repeat(np.array(rgs, dtype=np.int32), rg_rows)
+    docs = docs.append_column("src_rg", pa.array(src_rg, type=pa.int32()))
+
+    seg_dir = os.path.join(index_dir, "segments", part["pid"])
+    os.makedirs(seg_dir, exist_ok=True)
+    tmp_tag = uuid.uuid4().hex[:8]
+    for name, out_tbl in (("terms", terms_tbl), ("docs", docs)):
+        tmp = os.path.join(seg_dir, f".{name}.{tmp_tag}.tmp")
+        # small row groups + stats enable term-range pruning at query time
+        pq.write_table(out_tbl, tmp, row_group_size=4096, compression="zstd")
+        os.replace(tmp, os.path.join(seg_dir, f"{name}.parquet"))
+
+    entry = {
+        "pid": part["pid"],
+        "lineage": {
+            "input_path": part["path"],
+            "rg_start": part["rg_start"],
+            "rg_end": part["rg_end"],
+            "num_rows": part["num_rows"],
+        },
+        "segment": {
+            "terms": f"segments/{part['pid']}/terms.parquet",
+            "docs": f"segments/{part['pid']}/docs.parquet",
+        },
+        "stats": {
+            "n_docs": int(docs.num_rows),
+            "n_chunks": int(pa.compute.sum(docs["n_chunks"]).as_py() or 0),
+            "sum_dl": int(pa.compute.sum(docs["sum_dl"]).as_py() or 0),
+            "n_terms": int(terms_tbl.num_rows),
+            "n_postings": int(pa.compute.sum(terms_tbl["n"]).as_py() or 0),
+            "build_sec": round(time.perf_counter() - t0, 4),
+        },
+    }
+    mf.write_part_checkpoint(index_dir, part["pid"], entry)
+    return entry
+
+
+def build_index(
+    corpus_paths: list[str],
+    index_dir: str,
+    *,
+    chunker: str = "lines",
+    target_rows_per_part: int = 4000,
+    concurrency: int | None = None,
+) -> dict:
+    """Build (or resume) the full index; commits manifest.json.
+
+    Orchestrated as a Ray Data pipeline over partition descriptors:
+    the streaming executor schedules one task per partition with
+    backpressure; per-partition outputs are self-checkpointing, so a
+    re-run after failure skips completed partitions.
+    """
+    parts = plan_partitions(corpus_paths, target_rows_per_part)
+    ds = ray.data.from_items(parts, override_num_blocks=len(parts))
+    pkg_root = _pkg_root()
+
+    def run_part(batch: dict) -> dict:
+        # self-bootstrapping closure: Ray workers don't share the
+        # driver's sys.path, so the task inserts the package root and
+        # imports there (cloudpickle ships this nested fn by value)
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        import numpy as _np
+
+        from microfts_ray.pipelines.build import build_partition as bp
+
+        entries = []
+        for i in range(len(batch["pid"])):
+            part = {
+                k: (int(v) if isinstance(v, _np.integer) else v)
+                for k, v in ((kk, batch[kk][i]) for kk in
+                             ("pid", "path", "rg_start", "rg_end", "num_rows"))
+            }
+            entries.append(bp(part, index_dir, chunker))
+        return {
+            "pid": [e["pid"] for e in entries],
+            "n_docs": [e["stats"]["n_docs"] for e in entries],
+            "n_postings": [e["stats"]["n_postings"] for e in entries],
+            "resumed": [bool(e.get("resumed")) for e in entries],
+        }
+
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    # one descriptor per batch -> one segment per task invocation
+    ds.map_batches(run_part, batch_size=1, num_cpus=1, **kwargs).materialize()
+
+    # assemble + commit the generation manifest from the checkpoints
+    entries = []
+    for part in parts:
+        e = mf.read_part_checkpoint(index_dir, part["pid"])
+        if e is None:
+            raise RuntimeError(f"partition {part['pid']} missing checkpoint")
+        entries.append(e)
+    agg = {
+        k: int(sum(e["stats"][k] for e in entries))
+        for k in ("n_docs", "n_chunks", "sum_dl", "n_terms", "n_postings")
+    }
+    manifest = {
+        "version": 1,
+        "chunker": chunker,
+        "partitions": [
+            {k: e[k] for k in ("pid", "lineage", "segment", "stats")} for e in entries
+        ],
+        "global": {
+            **agg,
+            "avgdl": (agg["sum_dl"] / agg["n_chunks"]) if agg["n_chunks"] else 0.0,
+        },
+        "inputs": sorted(corpus_paths),
+    }
+    mf.commit_manifest(index_dir, manifest)
+    return manifest

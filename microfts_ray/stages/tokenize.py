@@ -1,0 +1,141 @@
+"""Chunking + tokenization stages: corpus rows -> term/posting arrays.
+
+Mirrors the reference write path (/root/reference/fts-lmdb.go:578-603
+``indexLines`` and :546-576 ``indexOrg``) as vectorized batch
+functions:
+
+  * line chunker: every line is a chunk, 1-based line numbers,
+    terminator included; a final unterminated line is DROPPED (the
+    reference's readLine returns EOF for it, fts-lmdb.go:605-610);
+  * org chunker: org elements with >= 1 gram become chunks
+    (stages/org.py);
+  * doc identity: deterministic 63-bit hash of (repo, path, commit) —
+    replaces the reference's global OID allocator
+    (fts-lmdb.go:855-867) so the build is order-free, embarrassingly
+    parallel and resumable (SURVEY.md §2.3 ST3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.grams import extract_batch
+from ..sources.corpus import corpus_sha256
+
+
+def doc_id_for(repo: str, path: str, commit: str) -> int:
+    """Deterministic 63-bit doc id from the natural key.
+
+    blake2b-8 keeps ids dense-random for delta compression and makes
+    assignment embarrassingly parallel. Collisions are checked at
+    build validation (expected ~n^2/2^64; switch to 128-bit ids —
+    two columns — beyond ~10^9 docs).
+    """
+    h = hashlib.blake2b(
+        b"\x00".join((repo.encode(), path.encode(), commit.encode())), digest_size=8
+    ).digest()
+    return int.from_bytes(h, "big") & 0x7FFFFFFFFFFFFFFF
+
+
+def doc_ids_column(repo: pa.Array, path: pa.Array, commit: pa.Array) -> np.ndarray:
+    return np.fromiter(
+        (
+            doc_id_for(r, p, c)
+            for r, p, c in zip(repo.to_pylist(), path.to_pylist(), commit.to_pylist())
+        ),
+        dtype=np.uint64,
+        count=len(repo),
+    )
+
+
+def split_lines(content: str) -> list[str]:
+    """Reference line chunking: split at '\\n', DROP a trailing
+    unterminated fragment (fts-lmdb.go:605-610). Terminators are not
+    kept in the chunk text — they are boundary chars with no gram
+    effect (boundary runs collapse, fulltext.go:227).
+    """
+    parts = content.split("\n")
+    return parts[:-1]
+
+
+def tokenize_corpus_batch(
+    batch: pa.Table, chunker: str = "lines"
+) -> tuple[dict[str, np.ndarray], pa.Table]:
+    """One corpus batch -> (posting entry arrays, docs-meta table).
+
+    Returns
+      entries: dict of parallel arrays (term:uint16, doc_id:uint64,
+        chunk_id:uint64, tf:uint64, dl:uint64) sorted by
+        (term, doc_id, chunk_id) — ready for run grouping;
+      docs: Arrow table (doc_id, repo, path, commit, lang, n_chunks,
+        sum_dl, content_sha256).
+    """
+    repo, path, commit = batch["repo"], batch["path"], batch["commit"]
+    contents = batch["content"].to_pylist()
+    doc_ids = doc_ids_column(repo, path, commit)
+
+    if chunker == "lines":
+        per_doc_chunks = [split_lines(c) for c in contents]
+        chunk_local_ids = None  # consecutive 0..n-1
+    elif chunker == "org":
+        from .org import split_org_parts
+
+        per_doc = [split_org_parts(c) for c in contents]
+        # org chunks are (start_line, text) for parts with >=1 gram;
+        # chunk_id = start line - 1 for display parity
+        per_doc_chunks = [[t for (_ln, t) in parts] for parts in per_doc]
+        chunk_local_ids = [
+            np.array([ln - 1 for (ln, _t) in parts], dtype=np.uint64)
+            for parts in per_doc
+        ]
+    else:
+        raise ValueError(f"unknown chunker: {chunker}")
+
+    n_chunks = np.array([len(c) for c in per_doc_chunks], dtype=np.int64)
+    flat_chunks: list[str] = [t for chunks in per_doc_chunks for t in chunks]
+    chunk_doc = np.repeat(doc_ids, n_chunks)  # doc of each flat chunk
+    if chunk_local_ids is None:
+        starts = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        chunk_ord = (
+            np.arange(len(flat_chunks), dtype=np.uint64)
+            - np.repeat(starts, n_chunks).astype(np.uint64)
+        )
+    else:
+        chunk_ord = (
+            np.concatenate(chunk_local_ids)
+            if chunk_local_ids
+            else np.empty(0, dtype=np.uint64)
+        )
+
+    chunk_idx, term, tf, chunk_dl = extract_batch(flat_chunks)
+    entry_doc = chunk_doc[chunk_idx]
+    entry_chunk = chunk_ord[chunk_idx]
+    entry_dl = chunk_dl[chunk_idx].astype(np.uint64)
+    order = np.lexsort((entry_chunk, entry_doc, term))
+    entries = {
+        "term": term[order],
+        "doc_id": entry_doc[order],
+        "chunk_id": entry_chunk[order],
+        "tf": tf[order].astype(np.uint64),
+        "dl": entry_dl[order],
+    }
+
+    sum_dl = np.zeros(len(contents), dtype=np.int64)
+    doc_of_chunk = np.repeat(np.arange(len(contents)), n_chunks)
+    np.add.at(sum_dl, doc_of_chunk, chunk_dl)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.uint64()),
+            "repo": repo,
+            "path": path,
+            "commit": commit,
+            "lang": batch["lang"],
+            "n_chunks": pa.array(n_chunks),
+            "sum_dl": pa.array(sum_dl),
+            "content_sha256": pa.array([corpus_sha256(c) for c in contents]),
+        }
+    )
+    return entries, docs

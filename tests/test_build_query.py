@@ -1,0 +1,182 @@
+"""End-to-end build + query vs the single-threaded oracle.
+
+The core invariant (BASELINE.json north_rule / FIXTURES.md §5): the
+distributed engine reproduces the oracle's results — ids AND scores,
+rank-identically — at every partition count.
+"""
+
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from microfts_ray.oracle import OracleIndex
+from microfts_ray.pipelines.build import build_index, plan_partitions
+from microfts_ray.pipelines.query import IndexReader
+from microfts_ray.sources.corpus import gen_table, write_corpus
+
+N_FILES = 120
+
+QUERIES = [
+    ("def",),
+    ("import", "mod_1"),
+    ("return a",),
+    ("DEF",),
+    ("a + b",),
+    ("nonexistent_zzz_xq",),
+    ("Handler7",),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    write_corpus(str(d), N_FILES, files_per_shard=50)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_dir):
+    rows = []
+    for i in range(0, N_FILES, 50):
+        rows.extend(gen_table(i, min(50, N_FILES - i)).to_pylist())
+    return OracleIndex.build(rows)
+
+
+def _build(corpus_dir, tmp, rows_per_part):
+    import glob
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    index_dir = f"{tmp}/index_{rows_per_part}"
+    build_index(paths, index_dir, target_rows_per_part=rows_per_part)
+    return IndexReader(index_dir)
+
+
+@pytest.fixture(scope="module", params=[15, 1000])
+def reader(request, corpus_dir, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("idx")
+    return _build(corpus_dir, tmp, request.param)
+
+
+def test_manifest_stats(reader, oracle):
+    g = reader.manifest["global"]
+    assert g["n_docs"] == N_FILES
+    assert g["n_chunks"] == oracle.n_chunks
+    assert g["sum_dl"] == oracle.sum_dl
+
+
+def test_content_sha_invariant(reader, corpus_dir):
+    # per-row invariant: manifest sha256 == sha256 of source content
+    import glob
+
+    from microfts_ray.sources.corpus import corpus_sha256
+
+    src = {}
+    for p in sorted(glob.glob(f"{corpus_dir}/*.parquet")):
+        t = pq.read_table(p, columns=["repo", "path", "commit", "content"])
+        for r in t.to_pylist():
+            src[(r["repo"], r["path"], r["commit"])] = corpus_sha256(r["content"])
+    checked = 0
+    for seg in reader.segments:
+        d = seg.docs().to_pylist()
+        for r in d:
+            assert r["content_sha256"] == src[(r["repo"], r["path"], r["commit"])]
+            checked += 1
+    assert checked == N_FILES
+
+
+@pytest.mark.parametrize("args", QUERIES)
+def test_search_matches_oracle(reader, oracle, args):
+    got = reader.search(*args)
+    want = oracle.search(*args)
+    assert [(r["doc_id"], r["chunk_id"], r["offset"]) for r in got] == [
+        (r["doc_id"], r["chunk_id"], r["offset"]) for r in want
+    ]
+
+
+def test_partial_search_matches_oracle(reader, oracle):
+    got = reader.search("retur", partial=True)
+    want = oracle.search("retur", partial=True)
+    assert [(r["doc_id"], r["chunk_id"]) for r in got] == [
+        (r["doc_id"], r["chunk_id"]) for r in want
+    ]
+    assert len(got) > 0  # 'return' lines must match 'retur' partial
+
+
+def test_fuzzy_matches_oracle(reader, oracle):
+    got = reader.fuzzy("def f_1(a, b)", threshold=0.6, sort_all=True)
+    want = oracle.fuzzy("def f_1(a, b)", threshold=0.6, sort_all=True)
+    assert [(r["doc_id"], r["chunk_id"], round(r["percent"], 9)) for r in got] == [
+        (r["doc_id"], r["chunk_id"], round(r["percent"], 9)) for r in want
+    ]
+    assert len(got) > 0
+
+
+def test_file_mode_matches_oracle(reader, oracle):
+    got = reader.search_file("def", "import")
+    want = oracle.search_file("def", "import")
+    assert [(r["doc_id"], r["first_chunks"]) for r in got] == [
+        (r["doc_id"], r["first_chunks"]) for r in want
+    ]
+    assert len(got) > 0
+
+
+@pytest.mark.parametrize(
+    "query", ["def", "import mod_1", "return a", "x_7", "def f_1(a, b):"]
+)
+def test_bm25_rank_and_score_identical(reader, oracle, query):
+    got = reader.bm25_topk(query, k=10)
+    want = oracle.bm25_topk(query, k=10)
+    assert [(r["doc_id"], r["chunk_id"]) for r in got] == [
+        (r["doc_id"], r["chunk_id"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], abs=0, rel=0) or g[
+            "score"
+        ] == w["score"], (g, w)
+
+
+@pytest.mark.parametrize("query", ["def", "import mod_1", "uniq"])
+def test_bm25_docs_rank_identical(reader, oracle, query):
+    got = reader.bm25_topk_docs(query, k=10)
+    want = oracle.bm25_topk_docs(query, k=10)
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_selective_unique_token(reader, oracle, corpus_dir):
+    # every file has a uniq_<hex> token; pick file 3's
+    import hashlib
+
+    uniq = "uniq_" + hashlib.sha256(b"1337:3").hexdigest()[:12]
+    got = reader.search(uniq)
+    assert len(got) == 1
+    assert got[0]["text"].endswith(uniq)
+
+
+def test_resume_skips_completed_partitions(corpus_dir, tmp_path_factory):
+    import glob
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("resume"))
+    index_dir = f"{tmp}/idx"
+    m1 = build_index(paths, index_dir, target_rows_per_part=30)
+    # simulate a crashed run: delete the manifest but keep checkpoints
+    import os
+
+    os.unlink(os.path.join(index_dir, "manifest.json"))
+    # drop one partition's checkpoint + segment: only it should rebuild
+    victim = m1["partitions"][2]["pid"]
+    os.unlink(os.path.join(index_dir, "_manifest", f"part-{victim}.json"))
+    shutil.rmtree(os.path.join(index_dir, "segments", victim))
+    m2 = build_index(paths, index_dir, target_rows_per_part=30)
+    assert m1["global"] == m2["global"]
+    assert [p["pid"] for p in m1["partitions"]] == [p["pid"] for p in m2["partitions"]]
+
+
+def test_partition_plan_deterministic(corpus_dir):
+    import glob
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    assert plan_partitions(paths, 30) == plan_partitions(paths, 30)
