@@ -1,44 +1,366 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+ray.init()/ray.shutdown() here or in the library (tests/bench own
+their sessions).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries() cover the SURVEY.md §2 operator inventory re-expressed
+Ray-Data-first plus the training-data operators (dedup / ANN / text
+analysis). SQL-expressible ones have DuckDB oracles in oracle_sql();
+engine-specific ones (gram index, BM25, fuzzy, MinHash, SimHash, ...)
+are rows-only checked by the driver and rank/score-verified against
+the pure-Python oracle in pytest instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+import ray.data  # noqa: E402
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+# word-boundary regex fragment matching the engine's hasArg semantics
+# (gram chars = [0-9A-Za-z]; see microfts_ray/oracle.py:has_arg)
+def _word_re(term: str) -> str:
+    return f"(^|[^0-9A-Za-z]){term}($|[^0-9A-Za-z])"
+
+
+_TOKENS_SQL = "list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '')"
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def q_doc_line_explode(sf_dir: str) -> pa.Table:
+    """Line chunker (SURVEY §2.2 M3) as a flat explode."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        doc, ln, line = [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            for i, x in enumerate(t.split("\n")):
+                doc.append(d)
+                ln.append(i + 1)
+                line.append(x)
+        return pa.table(
+            {"doc_id": pa.array(doc, pa.int64()), "line_no": pa.array(ln, pa.int64()),
+             "line": pa.array(line, pa.string())}
+        )
+
+    ds = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+    return pa.Table.from_pylist(ds.take_all())
+
+
+def q_search_and(sf_dir: str) -> pa.Table:
+    """Exact AND search via the gram index + verification (X1/M8)."""
+    from microfts_ray.pipelines.docsearch import get_reader, hit_doc_ids
+
+    hits = get_reader(sf_dir).search("hash", "table")
+    ids = sorted(hit_doc_ids(hits))
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def q_search_count_by_lang(sf_dir: str) -> pa.Table:
+    """Search hits aggregated by doc language."""
+    from microfts_ray.pipelines.docsearch import get_reader, hit_doc_ids
+
+    hits = get_reader(sf_dir).search("spark")
+    ids = set(hit_doc_ids(hits))
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    counts: dict[str, int] = {}
+    for d, lang in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()):
+        if d in ids:
+            counts[lang] = counts.get(lang, 0) + 1
+    langs = sorted(counts)
+    return pa.table(
+        {"lang": pa.array(langs), "n_docs": pa.array([counts[l] for l in langs], pa.int64())}
+    )
+
+
+def q_term_df(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.textstats import term_df
+
+    return term_df(_docs(sf_dir))
+
+
+def q_token_count(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.textstats import token_count
+
+    return token_count(_docs(sf_dir))
+
+
+def q_quality_stats(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.textstats import quality_stats
+
+    return quality_stats(_docs(sf_dir))
+
+
+def q_dedup_exact(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_lang_count(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.relational import lang_count
+
+    return lang_count(_docs(sf_dir))
+
+
+def q_pricing_summary(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.relational import pricing_summary
+
+    return pricing_summary(
+        _table(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    )
+
+
+def q_top_customers(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.relational import top_customers
+
+    return top_customers(_table(sf_dir, "orders", ["o_custkey"]))
+
+
+def q_orders_per_nation(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.relational import orders_per_nation
+
+    return orders_per_nation(
+        _table(sf_dir, "orders", ["o_custkey"]),
+        os.path.join(sf_dir, "customer.parquet"),
+        os.path.join(sf_dir, "nation.parquet"),
+    )
+
+
+def q_events_by_type(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.relational import events_by_type
+
+    return events_by_type(_table(sf_dir, "events", ["event_type", "value"]))
+
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    from microfts_ray.pipelines.ann import cosine_topk
+
+    emb = _table(sf_dir, "embeddings")
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = np.array(q["embedding"][0].as_py(), dtype=np.float64)
+    t = cosine_topk(emb, qvec, k=10, exclude_ids={int(q["vec_id"][0].as_py())})
+    return t.select(["rank", "vec_id"])  # float scores stay engine-side
+
+
+# -- rows-only (non-SQL-expressible) ----------------------------------------
+
+def q_bm25_topk(sf_dir: str) -> pa.Table:
+    from microfts_ray.pipelines.docsearch import get_reader, hit_doc_ids
+
+    top = get_reader(sf_dir).bm25_topk_docs("hash table merge", k=10)
+    ids = hit_doc_ids(top)  # map engine hash ids -> documents.doc_id
+    return pa.Table.from_pylist(
+        [
+            {"rank": r["rank"], "doc_id": d, "score": r["score"]}
+            for r, d in zip(top, ids)
+        ]
+    )
+
+
+def q_fuzzy_search(sf_dir: str) -> pa.Table:
+    from microfts_ray.pipelines.docsearch import get_reader, hit_doc_ids
+
+    hits = get_reader(sf_dir).fuzzy("merge batch", threshold=0.5, sort_all=True)
+    ids = hit_doc_ids(hits)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "percent": pa.array([h["percent"] for h in hits], pa.float64()),
+        }
+    )
+
+
+def q_gram_candidates(sf_dir: str) -> pa.Table:
+    from microfts_ray.functions.grams import gram_set
+    from microfts_ray.pipelines.docsearch import get_reader
+
+    cand = get_reader(sf_dir).candidates(gram_set("window"))
+    if cand is None:
+        return pa.table({"doc_hash": pa.array([], pa.int64())})
+    return pa.table(
+        {"doc_hash": pa.array(sorted(int(x) for x in cand.doc_ids), pa.int64())}
+    )
+
+
+def q_minhash_near_dup(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=0.4)
+
+
+def q_simhash(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.dedup import simhash64
+
+    return simhash64(_docs(sf_dir))
+
+
+def q_ngram_jaccard(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.3)
+
+
+def q_embedding_neardup(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.dedup import embedding_neardup_pairs
+
+    # testdata embeddings are near-orthogonal (max pairwise cosine ~0.5
+    # at sf0.01): 0.35 yields a small non-empty pair set
+    return embedding_neardup_pairs(
+        _table(sf_dir, "embeddings"), threshold=0.35, n_planes=4
+    )
+
+
+def q_lang_id(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.textstats import lang_id
+
+    return lang_id(_docs(sf_dir))
+
+
+def q_fingerprint(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.textstats import fingerprint
+
+    return fingerprint(_docs(sf_dir))
+
+
+def q_ann_lsh(sf_dir: str) -> pa.Table:
+    from microfts_ray.pipelines.ann import cosine_topk_lsh
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = np.array(q["embedding"][0].as_py(), dtype=np.float64)
+    return cosine_topk_lsh(
+        _table(sf_dir, "embeddings"),
+        qvec,
+        k=10,
+        exclude_ids={int(q["vec_id"][0].as_py())},
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the gram index over sf0.001 documents and run a
+    BM25 top-10 query; returns the result table."""
+    return q_bm25_topk(SF_SMALL)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_line_explode": q_doc_line_explode,
+        "search_and": q_search_and,
+        "search_count_by_lang": q_search_count_by_lang,
+        "term_df": q_term_df,
+        "token_count": q_token_count,
+        "quality_stats": q_quality_stats,
+        "dedup_exact": q_dedup_exact,
+        "lang_count": q_lang_count,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "orders_per_nation": q_orders_per_nation,
+        "events_by_type": q_events_by_type,
+        "ann_topk": q_ann_topk,
+        # rows-only (non-SQL-expressible engine ops)
+        "bm25_topk": q_bm25_topk,
+        "fuzzy_search": q_fuzzy_search,
+        "gram_candidates": q_gram_candidates,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_lsh": q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_line_explode": (
+            "SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) AS line_no, "
+            "unnest(string_split(text, chr(10))) AS line FROM documents"
+        ),
+        "search_and": (
+            "SELECT doc_id FROM documents WHERE "
+            f"regexp_matches(text, '{_word_re('hash')}', 'i') AND "
+            f"regexp_matches(text, '{_word_re('table')}', 'i') ORDER BY doc_id"
+        ),
+        "search_count_by_lang": (
+            "SELECT lang, count(*) AS n_docs FROM documents WHERE "
+            f"regexp_matches(text, '{_word_re('spark')}', 'i') "
+            "GROUP BY lang ORDER BY lang"
+        ),
+        "term_df": (
+            "SELECT term, count(*) AS df FROM ("
+            f"SELECT DISTINCT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents"
+            ") GROUP BY term ORDER BY term"
+        ),
+        "token_count": (
+            f"SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents ORDER BY doc_id"
+        ),
+        "quality_stats": (
+            "SELECT doc_id, length(text) AS n_chars_c, "
+            f"len({_TOKENS_SQL}) AS n_tokens, "
+            "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END AS alpha_ratio, "
+            f"CASE WHEN len({_TOKENS_SQL}) = 0 THEN 0.0 ELSE "
+            f"list_aggregate(list_transform({_TOKENS_SQL}, x -> length(x)), 'sum') * 1.0 / len({_TOKENS_SQL}) END AS avg_token_len "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count "
+            "FROM documents GROUP BY 1 ORDER BY h"
+        ),
+        "lang_count": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "count(*) AS count_order FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "top_customers": (
+            "SELECT o_custkey, count(*) AS order_count FROM orders "
+            "GROUP BY o_custkey ORDER BY order_count DESC, o_custkey LIMIT 10"
+        ),
+        "orders_per_nation": (
+            "SELECT n.n_name, count(*) AS n_orders FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name ORDER BY n.n_name"
+        ),
+        "events_by_type": (
+            "SELECT event_type, count(*) AS n, min(value) AS min_value, "
+            "max(value) AS max_value FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT row_number() OVER (ORDER BY "
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, "
+            "e.vec_id) AS rank, e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0 "
+            "ORDER BY rank LIMIT 10"
+        ),
+    }

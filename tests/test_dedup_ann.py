@@ -1,0 +1,131 @@
+"""Dedup + ANN operator tests vs brute-force references."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from microfts_ray.pipelines.ann import cosine_topk, cosine_topk_lsh
+from microfts_ray.pipelines.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from microfts_ray.pipelines.textstats import word_tokens
+
+
+def _doc_ds(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+TEXTS = [
+    BASE,
+    BASE,  # exact dup of 0
+    BASE.replace("lazy", "sleepy"),  # near dup of 0
+    "completely different content about database query engines and indexes",
+    "another unrelated string regarding distributed systems and shuffles",
+    BASE + " with a small suffix added",  # near dup of 0
+    "",
+]
+
+
+def _true_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        toks = word_tokens(t)
+        if len(toks) < k:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup():
+    out = exact_dedup(_doc_ds(TEXTS)).to_pandas().sort_values("h").reset_index(drop=True)
+    assert out["dup_count"].sum() == len(TEXTS)
+    dup = out[out["dup_count"] > 1]
+    assert len(dup) == 1 and dup.iloc[0]["keep_id"] == 0 and dup.iloc[0]["dup_count"] == 2
+
+
+def test_minhash_finds_near_dups():
+    pairs = minhash_lsh_pairs(_doc_ds(TEXTS), threshold=0.4).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    # every true pair with jaccard >= 0.8 must be found (high-sim recall)
+    for i in range(len(TEXTS)):
+        for j in range(i + 1, len(TEXTS)):
+            if _true_jaccard(TEXTS[i], TEXTS[j]) >= 0.8:
+                assert (i, j) in got, (i, j)
+    # estimates are in [0,1] and pairs are canonical
+    assert (pairs["a"] < pairs["b"]).all()
+    assert ((pairs["jaccard_est"] >= 0) & (pairs["jaccard_est"] <= 1)).all()
+
+
+def test_ngram_jaccard_exact_values():
+    pairs = ngram_jaccard_pairs(_doc_ds(TEXTS), threshold=0.3).to_pandas()
+    got = {(a, b): j for a, b, j in zip(pairs["a"], pairs["b"], pairs["jaccard"])}
+    assert got[(0, 1)] == 1.0
+    for (a, b), j in got.items():
+        assert j == pytest.approx(_true_jaccard(TEXTS[a], TEXTS[b]))
+        assert j >= 0.3
+
+
+def test_simhash_properties():
+    out = simhash64(_doc_ds(TEXTS)).to_pandas().set_index("doc_id")["simhash"]
+    assert out[0] == out[1]  # identical docs
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[3]).count("1")
+    assert ham_near < ham_far
+    assert out[6] == 0  # empty doc
+
+
+def _vec_table(n=80, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, dim))
+    # plant near-dups: 3 pairs with cosine ~0.999
+    for a, b in [(0, 1), (10, 11), (20, 21)]:
+        v[b] = v[a] + rng.standard_normal(dim) * 0.01
+    return pa.table(
+        {"vec_id": pa.array(range(n), pa.int64()),
+         "embedding": pa.array([list(map(float, r)) for r in v])}
+    ), v
+
+
+def test_cosine_topk_matches_bruteforce():
+    tbl, v = _vec_table()
+    ds = ray.data.from_arrow(tbl)
+    q = v[0]
+    got = cosine_topk(ds, q, k=5, exclude_ids={0}).to_pandas()
+    unit = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = unit @ (q / np.linalg.norm(q))
+    sims[0] = -np.inf
+    order = np.lexsort((np.arange(len(v)), -sims))[:5]
+    assert got["vec_id"].tolist() == order.tolist()
+    assert got["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_cosine_lsh_finds_planted_neighbor():
+    tbl, v = _vec_table()
+    ds = ray.data.from_arrow(tbl)
+    got = cosine_topk_lsh(ds, v[0], k=3, exclude_ids={0}).to_pandas()
+    assert got["vec_id"].iloc[0] == 1  # the planted near-dup
+
+
+def test_embedding_neardup_pairs():
+    tbl, v = _vec_table()
+    ds = ray.data.from_arrow(tbl)
+    pairs = embedding_neardup_pairs(ds, threshold=0.99, n_planes=4).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert {(0, 1), (10, 11), (20, 21)} <= got
+    for _, r in pairs.iterrows():
+        unit = v / np.linalg.norm(v, axis=1, keepdims=True)
+        assert unit[int(r["a"])] @ unit[int(r["b"])] == pytest.approx(r["cosine"])

@@ -1,0 +1,75 @@
+"""Text-analysis operator tests."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from microfts_ray.pipelines.textstats import (
+    fingerprint,
+    lang_id,
+    quality_stats,
+    term_df,
+    token_count,
+    word_tokens,
+)
+
+
+def _ds(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+    )
+
+
+TEXTS = [
+    "The quick brown fox, the lazy dog!",
+    "el perro y el gato es una mascota de la casa",
+    "der Hund und die Katze ist ein Tier mit Fell zu Hause",
+    "数据库引擎测试",
+    "",
+    "a b c a b a",
+]
+
+
+def test_word_tokens():
+    assert word_tokens("Hi, there 9x!") == ["hi", "there", "9x"]
+    assert word_tokens("") == []
+    assert word_tokens("数据库") == []
+
+
+def test_token_count():
+    out = token_count(_ds(TEXTS)).to_pandas().set_index("doc_id")["n_tokens"]
+    assert out[0] == 7 and out[4] == 0 and out[5] == 6
+
+
+def test_term_df():
+    out = term_df(_ds(TEXTS)).to_pandas().set_index("term")["df"]
+    assert out["the"] == 1  # distinct per doc
+    assert out["a"] == 1
+    assert out["el"] == 1
+
+
+def test_quality_stats():
+    out = quality_stats(_ds(TEXTS)).to_pandas().set_index("doc_id")
+    assert out.loc[4, "alpha_ratio"] == 0.0
+    t = TEXTS[0]
+    alpha = sum(c.isascii() and c.isalpha() for c in t)
+    assert out.loc[0, "alpha_ratio"] == pytest.approx(alpha / len(t))
+    toks = word_tokens(t)
+    assert out.loc[0, "avg_token_len"] == pytest.approx(sum(map(len, toks)) / len(toks))
+
+
+def test_lang_id():
+    out = lang_id(_ds(TEXTS)).to_pandas().set_index("doc_id")["lang_pred"]
+    assert out[0] == "en" and out[1] == "es" and out[2] == "de" and out[3] == "zh"
+    assert out[4] == "und"
+
+
+def test_fingerprint_deterministic():
+    a = fingerprint(_ds(TEXTS)).to_pandas().set_index("doc_id")["fp"]
+    b = fingerprint(_ds(TEXTS)).to_pandas().set_index("doc_id")["fp"]
+    assert (a == b).all()
+    assert a[4] == 0
+    assert a[0] != a[1]
