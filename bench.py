@@ -1,0 +1,241 @@
+"""Benchmark harness: headline pipelines at $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N}
+
+Modes:
+  python bench.py                 # full suite (default sf0.1, 32 cpus)
+  python bench.py --scaling       # same build job at 8 and 32 cpus in
+                                  # fresh processes; reports throughputs
+                                  # + scaling efficiency (the in-sandbox
+                                  # stand-in for N- vs 4N-node clusters)
+  python bench.py --build-only    # internal: one timed index build
+
+The bench corpus (BENCH_FILES synthetic source files, FIXTURES.md §1)
+is generated once and cached under /tmp; index builds always start
+from an empty index dir so build time is real work, not resume.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+import uuid
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_FILES = int(os.environ.get("BENCH_FILES", "200000"))
+ROWS_PER_PART = int(os.environ.get("BENCH_ROWS_PER_PART", "250"))
+CORPUS_DIR = f"/tmp/microfts_bench/corpus_{BENCH_FILES}"
+
+# the FIXTURES.md §5-style reference query set (mix of df deciles)
+BM25_QUERIES = [
+    "def", "import mod_3", "return a", "DEF", "a + b", "def f_1(a, b):",
+    "import", "value compute", "class Handler7", "while x_3",
+    "raise ValueError", "CONST_11", "helper_9", "mod_17 import", "print str_4",
+    "x_21 y_7", "def import return", "comment about", "from mod_2", "f_42",
+]
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    return ray
+
+
+def _ensure_corpus() -> list[str]:
+    from microfts_ray.sources.corpus import write_corpus
+
+    write_corpus(CORPUS_DIR, BENCH_FILES, files_per_shard=25000, row_group_size=ROWS_PER_PART)
+    return sorted(glob.glob(f"{CORPUS_DIR}/*.parquet"))
+
+
+def timed_build() -> dict:
+    """One fresh index build over the bench corpus; returns metrics."""
+    ray = _init_ray()
+    import ray.data
+
+    from microfts_ray.pipelines.build import build_index
+
+    paths = _ensure_corpus()
+    # warm the worker pool so build time measures the pipeline, not
+    # cluster startup
+    ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b
+    ).materialize()
+    from microfts_ray.pipelines.merge import merge_index
+
+    index_dir = f"/tmp/microfts_bench/idx_{uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    manifest = build_index(paths, index_dir, target_rows_per_part=ROWS_PER_PART)
+    t1 = time.perf_counter()
+    merge_index(index_dir, n_shards=max(8, NUM_CPUS), concurrency=NUM_CPUS)
+    t2 = time.perf_counter()
+    return {
+        "index_dir": index_dir,
+        "build_sec": t2 - t0,
+        "build_segments_sec": t1 - t0,
+        "merge_sec": t2 - t1,
+        "files": manifest["global"]["n_docs"],
+        "files_per_sec": manifest["global"]["n_docs"] / (t2 - t0),
+        "n_postings": manifest["global"]["n_postings"],
+    }
+
+
+def run_suite() -> dict:
+    ray = _init_ray()
+    import importlib.util
+
+    queries: dict[str, float] = {}
+
+    b = timed_build()
+    queries["index_build"] = round(b["build_segments_sec"], 3)
+    queries["index_merge"] = round(b["merge_sec"], 3)
+    files_per_sec = b["files_per_sec"]
+
+    from microfts_ray.pipelines.query import IndexReader
+
+    reader = IndexReader(b["index_dir"])
+    lat = []
+    t0 = time.perf_counter()
+    for q in BM25_QUERIES:
+        tq = time.perf_counter()
+        reader.bm25_topk(q, k=10)
+        lat.append(time.perf_counter() - tq)
+    queries["bm25_20q"] = round(time.perf_counter() - t0, 3)
+    bm25_p50_ms = statistics.median(lat) * 1000
+
+    t0 = time.perf_counter()
+    reader.search("import", "mod_3")
+    queries["search_and"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    reader.fuzzy("def f_1(a, b)", threshold=0.6)
+    queries["fuzzy"] = round(time.perf_counter() - t0, 3)
+
+    # driver-contract pipelines over $GRAFT_SF_DIR
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry", os.path.join(REPO, "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def to_rows(obj):
+        import ray.data
+
+        if isinstance(obj, ray.data.Dataset):
+            return obj.count()
+        return obj.num_rows if hasattr(obj, "num_rows") else len(obj)
+
+    for name in (
+        "term_df",
+        "dedup_exact",
+        "minhash_near_dup",
+        "ann_topk",
+        "pricing_summary",
+        "quality_stats",
+        "simhash",
+    ):
+        fn = mod.queries()[name]
+        t0 = time.perf_counter()
+        to_rows(fn(SF_DIR))
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(b["index_dir"], ignore_errors=True)
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "index build files/sec + BM25 p50 + pipeline suite wall sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "build_files_per_sec": round(files_per_sec, 1),
+        "bm25_p50_ms": round(bm25_p50_ms, 2),
+        "bench_corpus_files": BENCH_FILES,
+    }
+
+
+def run_build_only() -> dict:
+    b = timed_build()
+    shutil.rmtree(b["index_dir"], ignore_errors=True)
+    return {
+        "metric": "index build",
+        "value": round(b["build_sec"], 3),
+        "unit": "sec",
+        "queries": {"index_build": round(b["build_sec"], 3)},
+        "sf": CORPUS_DIR,
+        "num_cpus": NUM_CPUS,
+        "build_files_per_sec": round(b["files_per_sec"], 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same build at N and 4N cpus in fresh processes (north_rule
+    scaling criterion, sandbox form)."""
+    _ensure_corpus()  # generate once outside both timed runs
+    lo, hi = 8, 32
+    results = {}
+    for n in (lo, hi):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(n),
+            BENCH_FILES=str(BENCH_FILES),
+            BENCH_ROWS_PER_PART=str(ROWS_PER_PART),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--build-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    thr_lo = results[lo]["build_files_per_sec"]
+    thr_hi = results[hi]["build_files_per_sec"]
+    eff = thr_hi / (thr_lo * (hi / lo))
+    return {
+        "metric": f"index-build scaling {lo}->{hi} cpus",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            f"build_sec_cpus{lo}": results[lo]["value"],
+            f"build_sec_cpus{hi}": results[hi]["value"],
+        },
+        "sf": CORPUS_DIR,
+        "num_cpus": hi,
+        "throughput_files_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+        "scaling_efficiency": round(eff, 3),
+        "bench_corpus_files": BENCH_FILES,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        out = run_scaling()
+    elif "--build-only" in sys.argv:
+        out = run_build_only()
+    else:
+        out = run_suite()
+    print(json.dumps(out))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()

@@ -60,6 +60,36 @@ def pair_group_sum(
     return d[starts], c[starts], sums
 
 
+def pair_lookup(
+    a_doc: np.ndarray,
+    a_chunk: np.ndarray,
+    b_doc: np.ndarray,
+    b_chunk: np.ndarray,
+) -> np.ndarray:
+    """For each (a_doc, a_chunk) pair, its row index in b, or -1.
+
+    Both sides must hold unique pairs; b need not be sorted. The
+    query engine's gather kernel: after MaxScore stops admitting new
+    candidates, remaining (hot) terms only need tf/dl lookups for the
+    candidate set — O((n+m) log) instead of a full union merge.
+    """
+    n_a = a_doc.size
+    out = np.full(n_a, -1, dtype=np.int64)
+    if n_a == 0 or b_doc.size == 0:
+        return out
+    d = np.concatenate([a_doc, b_doc])
+    c = np.concatenate([a_chunk, b_chunk])
+    src_b = np.concatenate([np.zeros(n_a, dtype=bool), np.ones(b_doc.size, dtype=bool)])
+    order = np.lexsort((src_b, c, d))
+    ds, cs, ss = d[order], c[order], src_b[order]
+    match = np.zeros(ds.size, dtype=bool)
+    match[:-1] = (ds[:-1] == ds[1:]) & (cs[:-1] == cs[1:]) & ~ss[:-1] & ss[1:]
+    a_pos = order[match]  # original indices (< n_a)
+    b_pos = order[np.roll(match, 1)] - n_a
+    out[a_pos] = b_pos
+    return out
+
+
 def pair_unique(
     doc: np.ndarray, chunk: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -39,7 +39,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..functions.postings import encode_run
+from ..functions.varint import encode_array
 from ..state import manifest as mf
 from ..stages.tokenize import tokenize_corpus_batch
 
@@ -54,6 +54,7 @@ TERMS_SCHEMA = pa.schema(
         ("dl_blob", pa.large_binary()),
         ("bmax_tf_blob", pa.large_binary()),
         ("bmin_dl_blob", pa.large_binary()),
+        ("bfirst_doc_blob", pa.large_binary()),
     ]
 )
 
@@ -98,27 +99,90 @@ def plan_partitions(
     return parts
 
 
+def _binary_col(blob: bytes, byte_offsets: np.ndarray) -> pa.Array:
+    """Zero-copy large_binary column: per-row slices of one buffer."""
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        byte_offsets.size - 1,
+        [None, pa.py_buffer(byte_offsets.tobytes()), pa.py_buffer(blob)],
+    )
+
+
 def encode_partition_runs(entries: dict[str, np.ndarray]) -> pa.Table:
     """Entries sorted by (term, doc_id, chunk_id) -> one encoded
-    posting-run row per term (TERMS_SCHEMA)."""
+    posting-run row per term (TERMS_SCHEMA).
+
+    Fully vectorized: each stream is varint-encoded ONCE for the whole
+    partition; per-term blobs are zero-copy slices via offset buffers
+    (doc-gap deltas reset at term boundaries so every slice decodes
+    independently). Per-block maxima come from a single global
+    maximum.reduceat over all terms' block boundaries.
+    """
+    from ..functions.postings import BLOCK
+    from ..functions.varint import sizes_array
+
     term = entries["term"]
-    if term.size == 0:
+    nrows = term.size
+    if nrows == 0:
         return TERMS_SCHEMA.empty_table()
-    bounds = np.nonzero(np.diff(term.astype(np.int32)))[0] + 1
+    t32 = term.astype(np.int32)
+    bounds = np.nonzero(np.diff(t32))[0] + 1
     starts = np.concatenate(([0], bounds))
-    ends = np.concatenate((bounds, [term.size]))
-    rows = {name: [] for name in TERMS_SCHEMA.names}
-    for s, e in zip(starts, ends):
-        enc = encode_run(
-            entries["doc_id"][s:e],
-            entries["chunk_id"][s:e],
-            entries["tf"][s:e],
-            entries["dl"][s:e],
-        )
-        rows["term"].append(int(term[s]))
-        for k, v in enc.items():
-            rows[k].append(v)
-    return pa.table(rows, schema=TERMS_SCHEMA)
+    ends = np.concatenate((bounds, [nrows]))
+    ns = ends - starts
+
+    doc = entries["doc_id"]
+    gaps = np.empty(nrows, dtype=np.uint64)
+    gaps[0] = doc[0]
+    np.subtract(doc[1:], doc[:-1], out=gaps[1:])
+    gaps[starts] = doc[starts]  # delta resets at each term boundary
+    # df per term: distinct docs = new-doc flags summed per term
+    new_doc = np.empty(nrows, dtype=np.int64)
+    new_doc[0] = 1
+    new_doc[1:] = (doc[1:] != doc[:-1]).astype(np.int64)
+    new_doc[starts] = 1
+    df = np.add.reduceat(new_doc, starts)
+
+    def stream(vals: np.ndarray, row_starts: np.ndarray, row_ends: np.ndarray):
+        blob = encode_array(vals)
+        sizes = sizes_array(vals)
+        bo = np.zeros(vals.size + 1, dtype=np.int64)
+        np.cumsum(sizes, out=bo[1:])
+        offsets = np.empty(row_starts.size + 1, dtype=np.int64)
+        offsets[:-1] = bo[row_starts]
+        offsets[-1] = bo[row_ends[-1]]
+        return _binary_col(blob, offsets)
+
+    tf = entries["tf"]
+    dl = entries["dl"]
+    # block boundaries: per term, blocks of BLOCK entries
+    nblk = (ns + BLOCK - 1) // BLOCK
+    blk_term = np.repeat(np.arange(ns.size), nblk)
+    blk_offsets = np.zeros(ns.size + 1, dtype=np.int64)
+    np.cumsum(nblk, out=blk_offsets[1:])
+    intra = np.arange(blk_offsets[-1], dtype=np.int64) - np.repeat(
+        blk_offsets[:-1], nblk
+    )
+    blk_start = starts[blk_term] + BLOCK * intra
+    bmax_tf = np.maximum.reduceat(tf, blk_start)
+    bmin_dl = np.minimum.reduceat(dl, blk_start)
+    bfirst_doc = doc[blk_start]  # block skip index for selective decode
+
+    return pa.table(
+        {
+            "term": pa.array(t32[starts], pa.int32()),
+            "n": pa.array(ns, pa.int64()),
+            "df": pa.array(df, pa.int64()),
+            "doc_blob": stream(gaps, starts, ends),
+            "chunk_blob": stream(entries["chunk_id"], starts, ends),
+            "tf_blob": stream(tf, starts, ends),
+            "dl_blob": stream(dl, starts, ends),
+            "bmax_tf_blob": stream(bmax_tf, blk_offsets[:-1], blk_offsets[1:]),
+            "bmin_dl_blob": stream(bmin_dl, blk_offsets[:-1], blk_offsets[1:]),
+            "bfirst_doc_blob": stream(bfirst_doc, blk_offsets[:-1], blk_offsets[1:]),
+        },
+        schema=TERMS_SCHEMA,
+    )
 
 
 def build_partition(part: dict, index_dir: str, chunker: str = "lines") -> dict:
@@ -150,8 +214,10 @@ def build_partition(part: dict, index_dir: str, chunker: str = "lines") -> dict:
     tmp_tag = uuid.uuid4().hex[:8]
     for name, out_tbl in (("terms", terms_tbl), ("docs", docs)):
         tmp = os.path.join(seg_dir, f".{name}.{tmp_tag}.tmp")
-        # small row groups + stats enable term-range pruning at query time
-        pq.write_table(out_tbl, tmp, row_group_size=4096, compression="zstd")
+        # small row groups + stats: term-range pruning for point
+        # lookups AND for the merge stage (a merge shard reads ~1/M of
+        # each segment instead of whole row groups)
+        pq.write_table(out_tbl, tmp, row_group_size=512, compression="zstd")
         os.replace(tmp, os.path.join(seg_dir, f"{name}.parquet"))
 
     entry = {

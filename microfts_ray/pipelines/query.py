@@ -29,7 +29,13 @@ import pyarrow.parquet as pq
 
 from ..functions.grams import gram_set
 from ..functions.postings import PostingRun, decode_run, merge_runs
-from ..functions.setops import group_sum, pair_group_sum, pair_isin, pair_unique
+from ..functions.setops import (
+    group_sum,
+    pair_group_sum,
+    pair_isin,
+    pair_lookup,
+    pair_unique,
+)
 from ..oracle import K1, B, group_name, has_arg
 from ..state import manifest as mf
 from ..stages.tokenize import split_lines
@@ -50,7 +56,8 @@ class _Segment:
 
         self.entry = entry
         self.terms_path = os.path.join(index_dir, entry["segment"]["terms"])
-        self.docs_path = os.path.join(index_dir, entry["segment"]["docs"])
+        docs_rel = entry["segment"].get("docs")  # merged shards have no docs sidecar
+        self.docs_path = os.path.join(index_dir, docs_rel) if docs_rel else None
         self._pf = pq.ParquetFile(self.terms_path)
         # term directory: sorted term ids + (n, df) + row index
         dir_tbl = self._pf.read(columns=["term", "n", "df"])
@@ -93,10 +100,21 @@ class IndexReader:
     (/root/reference/fts-lmdb.go:1046-1165).
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, cache_entries: int = 50_000_000):
         self.index_dir = index_dir
         self.manifest = mf.load_manifest(index_dir)
         self.segments = [_Segment(index_dir, e) for e in self.manifest["partitions"]]
+        # prefer merged term-range shards (pipelines/merge.py): one
+        # posting run per term instead of one per build partition
+        merged = self.manifest.get("merged")
+        if merged:
+            self.n_shards = merged["n_shards"]
+            self.shards = [_Segment(index_dir, e) for e in merged["shards"]]
+            self._shard_bounds = np.array(merged["bounds"], dtype=np.int64)
+        else:
+            self.n_shards = 0
+            self.shards = []
+            self._shard_bounds = None
         g = self.manifest["global"]
         self.n_chunks = g["n_chunks"]
         self.n_docs = g["n_docs"]
@@ -104,27 +122,47 @@ class IndexReader:
         self.doc_avgdl = g["sum_dl"] / g["n_docs"] if g["n_docs"] else 0.0
         self._doc_meta: dict[int, tuple] | None = None
         self._content_cache: dict[int, str] = {}
+        # decoded-run LRU (hot grams dominate query cost)
+        self._run_cache: dict[int, PostingRun] = {}
+        self._run_cache_entries = 0
+        self._run_cache_cap = cache_entries
+        # dense scoring state (built lazily): sorted doc ids + stride
+        self._dense: tuple[np.ndarray, int] | None = None
+        self._dense_keys: dict[int, np.ndarray] = {}
+        self._contrib_cache: dict[int, np.ndarray] = {}
 
     # -- posting access ----------------------------------------------------
+    def _term_sources(self, term: int) -> list[_Segment]:
+        if self.shards:
+            i = int(np.searchsorted(self._shard_bounds, term, side="right")) - 1
+            return [self.shards[min(max(i, 0), self.n_shards - 1)]]
+        return self.segments
+
     def term_runs(self, term: int) -> list[PostingRun]:
         runs = []
-        for seg in self.segments:
+        for seg in self._term_sources(term):
             row = seg.term_row(term)
             if row is not None:
                 runs.append(decode_run(row))
         return runs
 
     def term_postings(self, term: int) -> PostingRun:
+        cached = self._run_cache.get(term)
+        if cached is not None:
+            return cached
         runs = self.term_runs(term)
-        if not runs:
-            return _EMPTY_RUN
-        return merge_runs(runs)
+        run = merge_runs(runs) if runs else _EMPTY_RUN
+        n = len(run)
+        if n and self._run_cache_entries + n <= self._run_cache_cap:
+            self._run_cache[term] = run
+            self._run_cache_entries += n
+        return run
 
     def chunk_df(self, term: int) -> int:
         """Chunks containing term (the chunk-level df) = sum of run ns."""
         return sum(
             int(seg.ns[i])
-            for seg in self.segments
+            for seg in self._term_sources(term)
             if (i := _find(seg.terms, term)) is not None
         )
 
@@ -132,7 +170,7 @@ class IndexReader:
         """Docs containing term; runs are doc-disjoint so dfs sum."""
         return sum(
             int(seg.dfs[i])
-            for seg in self.segments
+            for seg in self._term_sources(term)
             if (i := _find(seg.terms, term)) is not None
         )
 
@@ -322,31 +360,44 @@ class IndexReader:
         return out
 
     # -- BM25 --------------------------------------------------------------
-    def bm25_topk(self, query: str, k: int = 10) -> list[dict]:
+    def _idf(self, df: int) -> float:
+        return math.log(1.0 + (self.n_chunks - df + 0.5) / (df + 0.5))
+
+    def _contrib(self, w: float, tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        tf = tf.astype(np.float64)
+        dl = dl.astype(np.float64)
+        norm = K1 * (1 - B + B * (dl / self.avgdl if self.avgdl else dl * 0.0))
+        return w * (tf * (K1 + 1)) / (tf + norm)
+
+    def bm25_topk(
+        self, query: str, k: int = 10, prune_threshold: int = 200_000
+    ) -> list[dict]:
         """Chunk-level BM25 top-k, bit-identical to
-        OracleIndex.bm25_topk (same accumulation order)."""
+        OracleIndex.bm25_topk (same accumulation order).
+
+        Small posting volumes take the exhaustive union path; large
+        ones take MaxScore pruning (term-at-a-time in descending
+        upper-bound order; once the remaining terms' bound sum falls
+        below the running k-th partial score, no new candidate can
+        enter the top-k, so hot terms become candidate-only gathers).
+        The pruned path over-fetches 4k candidates and RESCORES them
+        exactly in ascending-term order, so returned scores and ranks
+        are identical to the oracle either way.
+        """
         grams = sorted(gram_set(query))
-        docs, chunks, contribs = [], [], []
-        for g in grams:
-            run = self.term_postings(g)
-            if len(run) == 0:
-                continue
-            df = len(run)  # chunk-level df == entries
-            w = math.log(1.0 + (self.n_chunks - df + 0.5) / (df + 0.5))
-            tf = run.tfs.astype(np.float64)
-            dl = run.dls.astype(np.float64)
-            norm = K1 * (1 - B + B * (dl / self.avgdl if self.avgdl else dl * 0.0))
-            docs.append(run.doc_ids)
-            chunks.append(run.chunk_ids)
-            contribs.append(w * (tf * (K1 + 1)) / (tf + norm))
-        if not docs:
+        infos = [(g, self.chunk_df(g)) for g in grams]
+        infos = [(g, n) for g, n in infos if n > 0]
+        if not infos:
             return []
-        d, c, inv = pair_unique(np.concatenate(docs), np.concatenate(chunks))
-        score = np.zeros(d.size, dtype=np.float64)
-        pos = 0
-        for contrib in contribs:  # ascending term order = oracle order
-            score[inv[pos : pos + contrib.size]] += contrib
-            pos += contrib.size
+        total = sum(n for _, n in infos)
+        dense = self._dense_space()
+        if total <= prune_threshold:
+            d, c, score = self._bm25_union([g for g, _ in infos])
+        elif dense is not None:
+            d, c, score = self._dense_topk([g for g, _ in infos], k)
+        else:
+            d, c = self._bm25_candidates_maxscore(infos, k)
+            score = self._rescore_exact([g for g, _ in infos], d, c)
         order = np.lexsort((c, d, -score))
         top = order[:k]
         return [
@@ -360,6 +411,163 @@ class IndexReader:
             }
             for i, j in enumerate(top)
         ]
+
+    def _dense_space(self, cap: int = 1 << 26) -> tuple[np.ndarray, int] | None:
+        """(sorted doc_ids, stride) for the dense scoring key space
+        doc_idx * stride + chunk_id, or None above `cap` keys.
+
+        The dense path is the single-node fast path: our scoring unit
+        universe (docs x max lines) fits comfortably in one float64
+        vector at sandbox scale, turning union scoring into
+        bincount adds — no sorting at all. At 10^12-doc scale
+        _dense_space returns None and MaxScore pruning takes over.
+        """
+        if self._dense is None:
+            meta = self._load_doc_meta()
+            doc_ids = np.fromiter(meta.keys(), dtype=np.uint64, count=len(meta))
+            doc_ids.sort()
+            stride = 1
+            for seg in self.segments:
+                col = seg.docs()["n_chunks"].to_numpy()
+                if col.size:
+                    stride = max(stride, int(col.max()))
+            self._dense = (doc_ids, stride)
+        doc_ids, stride = self._dense
+        if doc_ids.size * stride > cap:
+            return None
+        return self._dense
+
+    def _dense_key(self, g: int, run: PostingRun) -> np.ndarray:
+        key = self._dense_keys.get(g)
+        if key is None:
+            doc_ids, stride = self._dense
+            idx = np.searchsorted(doc_ids, run.doc_ids)
+            key = idx * np.int64(stride) + run.chunk_ids.astype(np.int64)
+            if g in self._run_cache:
+                self._dense_keys[g] = key
+        return key
+
+    def _bm25_dense(self, grams: list[int]):
+        """Union scoring via ONE dense bincount: keys/weights are
+        concatenated in ascending term order and bincount's C loop
+        adds sequentially in input order, so per-pair accumulation
+        order (and therefore every float) is identical to the
+        oracle's scalar loop."""
+        doc_ids, stride = self._dense
+        K = int(doc_ids.size) * stride
+        keys, weights = [], []
+        for g in grams:  # ascending
+            run = self.term_postings(g)
+            if len(run) == 0:
+                continue
+            keys.append(self._dense_key(g, run))
+            weights.append(self._term_contrib(g, run))
+        if not keys:
+            z = np.empty(0, dtype=np.int64)
+            return z, np.empty(0, dtype=np.float64), doc_ids, stride
+        acc = np.bincount(
+            np.concatenate(keys), weights=np.concatenate(weights), minlength=K
+        )
+        hit = np.nonzero(acc)[0]
+        score = acc[hit]
+        return hit, score, doc_ids, stride
+
+    def _term_contrib(self, g: int, run: PostingRun) -> np.ndarray:
+        contrib = self._contrib_cache.get(g)
+        if contrib is None:
+            contrib = self._contrib(self._idf(len(run)), run.tfs, run.dls)
+            if g in self._run_cache:
+                self._contrib_cache[g] = contrib
+        return contrib
+
+    def _dense_topk(self, grams: list[int], k: int):
+        """Dense scoring + tie-complete top-k preselection (avoids a
+        full sort of the union: only score >= kth-largest survive)."""
+        hit, score, doc_ids, stride = self._bm25_dense(grams)
+        if score.size > k:
+            kth = -np.partition(-score, k - 1)[k - 1]
+            keep = score >= kth  # keep ALL ties at the boundary
+            hit, score = hit[keep], score[keep]
+        d = doc_ids[hit // stride]
+        c = (hit % stride).astype(np.uint64)
+        return d, c, score
+
+    def _bm25_union(self, grams: list[int]):
+        """Exhaustive union scoring, oracle accumulation order."""
+        docs, chunks, contribs = [], [], []
+        for g in grams:  # ascending term order
+            run = self.term_postings(g)
+            if len(run) == 0:
+                continue
+            w = self._idf(len(run))
+            docs.append(run.doc_ids)
+            chunks.append(run.chunk_ids)
+            contribs.append(self._contrib(w, run.tfs, run.dls))
+        d, c, inv = pair_unique(np.concatenate(docs), np.concatenate(chunks))
+        score = np.zeros(d.size, dtype=np.float64)
+        pos = 0
+        for contrib in contribs:
+            score[inv[pos : pos + contrib.size]] += contrib
+            pos += contrib.size
+        return d, c, score
+
+    def _bm25_candidates_maxscore(self, infos, k: int, overfetch: int = 4):
+        """Candidate (doc, chunk) set guaranteed to contain the true
+        top-k: MaxScore admission with bound U_g = idf_g * (K1+1)."""
+        desc = sorted(infos, key=lambda gn: -self._idf(gn[1]))
+        bounds = np.array([self._idf(n) * (K1 + 1) for _, n in desc])
+        suffix = np.concatenate((np.cumsum(bounds[::-1])[::-1], [0.0]))
+        accD = np.empty(0, dtype=np.uint64)
+        accC = np.empty(0, dtype=np.uint64)
+        accS = np.empty(0, dtype=np.float64)
+        kk = k * overfetch
+        for i, (g, _n) in enumerate(desc):
+            theta = (
+                -np.partition(-accS, kk - 1)[kk - 1] if accS.size >= kk else 0.0
+            )
+            if theta > 0.0 and suffix[i] < theta:
+                # remaining terms cannot promote unseen pairs: gather only
+                for g2, _ in desc[i:]:
+                    run = self.term_postings(g2)
+                    if len(run) == 0:
+                        continue
+                    idx = pair_lookup(accD, accC, run.doc_ids, run.chunk_ids)
+                    hit = idx >= 0
+                    w = self._idf(len(run))
+                    accS[hit] += self._contrib(w, run.tfs[idx[hit]], run.dls[idx[hit]])
+                break
+            run = self.term_postings(g)
+            if len(run) == 0:
+                continue
+            w = self._idf(len(run))
+            contrib = self._contrib(w, run.tfs, run.dls)
+            d = np.concatenate([accD, run.doc_ids])
+            c = np.concatenate([accC, run.chunk_ids])
+            s = np.concatenate([accS, contrib])
+            accD, accC, inv = pair_unique(d, c)
+            ns = np.zeros(accD.size, dtype=np.float64)
+            np.add.at(ns, inv, s)
+            accS = ns
+        # truncate in full tie-break order (score desc, doc asc, chunk
+        # asc) so equal-score boundary candidates keep the same
+        # preference as the oracle's final ranking
+        take = min(accS.size, kk)
+        top = np.lexsort((accC, accD, -accS))[:take]
+        return accD[top], accC[top]
+
+    def _rescore_exact(self, grams: list[int], d: np.ndarray, c: np.ndarray):
+        """Exact scores for a candidate set, ascending-term sequential
+        accumulation (the oracle's float semantics)."""
+        score = np.zeros(d.size, dtype=np.float64)
+        for g in grams:  # ascending
+            run = self.term_postings(g)
+            if len(run) == 0:
+                continue
+            idx = pair_lookup(d, c, run.doc_ids, run.chunk_ids)
+            hit = idx >= 0
+            w = self._idf(len(run))
+            score[hit] += self._contrib(w, run.tfs[idx[hit]], run.dls[idx[hit]])
+        return score
 
     def bm25_topk_docs(self, query: str, k: int = 10) -> list[dict]:
         """Doc-level BM25 (tf summed per doc, dl = doc total)."""

@@ -52,9 +52,17 @@ def _build(corpus_dir, tmp, rows_per_part):
     return IndexReader(index_dir)
 
 
-@pytest.fixture(scope="module", params=[15, 1000])
+@pytest.fixture(scope="module", params=[15, 1000, "merged"])
 def reader(request, corpus_dir, tmp_path_factory):
     tmp = tmp_path_factory.mktemp("idx")
+    if request.param == "merged":
+        r = _build(corpus_dir, tmp, 20)
+        from microfts_ray.pipelines.merge import merge_index
+
+        merge_index(r.index_dir, n_shards=4)
+        r2 = IndexReader(r.index_dir)
+        assert r2.shards, "merged shards must be active"
+        return r2
     return _build(corpus_dir, tmp, request.param)
 
 
@@ -180,3 +188,13 @@ def test_partition_plan_deterministic(corpus_dir):
 
     paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
     assert plan_partitions(paths, 30) == plan_partitions(paths, 30)
+
+
+@pytest.mark.parametrize("query", ["def", "import mod_1", "return a", "def f_1(a, b):"])
+def test_bm25_maxscore_path_identical(reader, oracle, query):
+    """The pruned MaxScore path returns the same ids AND scores."""
+    got = reader.bm25_topk(query, k=10, prune_threshold=0)  # force pruning
+    want = oracle.bm25_topk(query, k=10)
+    assert [(r["doc_id"], r["chunk_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["chunk_id"], r["score"]) for r in want
+    ]

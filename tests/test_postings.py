@@ -41,12 +41,13 @@ def test_block_meta_bounds():
     tf = rng.integers(1, 1000, size=n, dtype=np.uint64)
     dl = rng.integers(1, 1000, size=n, dtype=np.uint64)
     row = encode_run(doc, chk, tf, dl)
-    bmax_tf, bmin_dl = decode_block_meta(row)
+    bmax_tf, bmin_dl, bfirst = decode_block_meta(row)
     assert bmax_tf.size == (n + BLOCK - 1) // BLOCK
     for b in range(bmax_tf.size):
         sl = slice(b * BLOCK, min((b + 1) * BLOCK, n))
         assert bmax_tf[b] == tf[sl].max()
         assert bmin_dl[b] == dl[sl].min()
+        assert bfirst[b] == doc[b * BLOCK]
 
 
 def test_merge_disjoint_runs():
@@ -65,3 +66,67 @@ def test_merge_disjoint_runs():
     row = encode_run(merged.doc_ids, merged.chunk_ids, merged.tfs, merged.dls)
     back = decode_run(row)
     assert (back.doc_ids == merged.doc_ids).all()
+
+
+def test_encode_partition_runs_matches_scalar():
+    """Vectorized partition encoder == per-term scalar encode_run."""
+    from microfts_ray.pipelines.build import encode_partition_runs
+
+    rng = np.random.default_rng(9)
+    n_terms, rows = 40, 3000
+    term = np.sort(rng.integers(0, n_terms, size=rows).astype(np.uint16))
+    doc = rng.integers(0, 1 << 50, size=rows, dtype=np.uint64)
+    chk = rng.integers(0, 300, size=rows, dtype=np.uint64)
+    order = np.lexsort((chk, doc, term))
+    entries = {
+        "term": term[order],
+        "doc_id": doc[order],
+        "chunk_id": chk[order],
+        "tf": rng.integers(1, 200, size=rows, dtype=np.uint64),
+        "dl": rng.integers(1, 5000, size=rows, dtype=np.uint64),
+    }
+    tbl = encode_partition_runs(entries)
+    pos = 0
+    for i in range(tbl.num_rows):
+        row = {k: tbl[k][i].as_py() for k in tbl.column_names}
+        n = row["n"]
+        sl = slice(pos, pos + n)
+        want = encode_run(
+            entries["doc_id"][sl], entries["chunk_id"][sl],
+            entries["tf"][sl], entries["dl"][sl],
+        )
+        for k, v in want.items():
+            assert row[k] == v, (i, k)
+        run = decode_run(row)
+        assert (run.doc_ids == entries["doc_id"][sl]).all()
+        bmax, bmin, bfirst = decode_block_meta(row)
+        assert bmax.size == (n + BLOCK - 1) // BLOCK
+        pos += n
+    assert pos == rows
+
+
+def test_decode_terms_table_bulk():
+    """Bulk table decode == per-row decode_run."""
+    from microfts_ray.pipelines.build import encode_partition_runs
+    from microfts_ray.functions.postings import decode_terms_table
+
+    rng = np.random.default_rng(11)
+    rows = 2000
+    term = np.sort(rng.integers(0, 60, size=rows).astype(np.uint16))
+    doc = rng.integers(0, 1 << 50, size=rows, dtype=np.uint64)
+    chk = rng.integers(0, 300, size=rows, dtype=np.uint64)
+    order = np.lexsort((chk, doc, term))
+    entries = {
+        "term": term[order], "doc_id": doc[order], "chunk_id": chk[order],
+        "tf": rng.integers(1, 9, size=rows, dtype=np.uint64),
+        "dl": rng.integers(1, 999, size=rows, dtype=np.uint64),
+    }
+    tbl = encode_partition_runs(entries)
+    dec = decode_terms_table(tbl)
+    for k in ("term", "doc_id", "chunk_id", "tf", "dl"):
+        assert (dec[k] == entries[k]).all(), k
+    # filtered table decodes too (merge path)
+    keep = tbl["term"].to_numpy() % 2 == 0
+    dec2 = decode_terms_table(tbl.filter(keep))
+    want = np.isin(entries["term"], tbl["term"].to_numpy()[keep])
+    assert (dec2["doc_id"] == entries["doc_id"][want]).all()
