@@ -35,7 +35,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_FILES = int(os.environ.get("BENCH_FILES", "200000"))
-ROWS_PER_PART = int(os.environ.get("BENCH_ROWS_PER_PART", "250"))
+ROWS_PER_PART = int(os.environ.get("BENCH_ROWS_PER_PART", "2000"))
 CORPUS_DIR = f"/tmp/microfts_bench/corpus_{BENCH_FILES}"
 
 # the FIXTURES.md §5-style reference query set (mix of df deciles)
@@ -113,6 +113,9 @@ def run_suite() -> dict:
     from microfts_ray.pipelines.query import IndexReader
 
     reader = IndexReader(b["index_dir"])
+    t0 = time.perf_counter()
+    reader.prewarm()  # serving-process load phase (hot-term decode)
+    queries["query_warmup"] = round(time.perf_counter() - t0, 3)
     lat = []
     t0 = time.perf_counter()
     for q in BM25_QUERIES:

@@ -136,11 +136,15 @@ def _balanced_bounds(terms_paths: list[str], n_shards: int) -> list[int]:
 
 
 def merge_index(
-    index_dir: str, n_shards: int = 8, concurrency: int | None = None
+    index_dir: str,
+    n_shards: int = 8,
+    concurrency: int | None = None,
+    deleted_docs: np.ndarray | None = None,
 ) -> dict:
     """Merge all build segments into n_shards mass-balanced term-range
     shards; records bounds in the manifest (idempotent, per-shard
-    resumable)."""
+    resumable). deleted_docs (tombstoned doc_ids) are dropped from
+    every posting run — compact semantics."""
     manifest = mf.load_manifest(index_dir)
     terms_paths = [
         os.path.join(index_dir, p["segment"]["terms"]) for p in manifest["partitions"]
@@ -151,6 +155,7 @@ def merge_index(
         override_num_blocks=n_shards,
     )
     pkg_root = _pkg_root()
+    dead = deleted_docs if deleted_docs is not None and len(deleted_docs) else None
 
     def run_shard(batch: dict) -> dict:
         # self-bootstrapping (see build.run_part): workers need the
@@ -163,7 +168,10 @@ def merge_index(
 
         out = []
         for shard, lo, hi in zip(batch["shard"], batch["lo"], batch["hi"]):
-            e = ms(index_dir, int(shard), n_shards, int(lo), int(hi), terms_paths)
+            e = ms(
+                index_dir, int(shard), n_shards, int(lo), int(hi), terms_paths,
+                deleted_docs=dead,
+            )
             out.append(e["stats"]["n_postings"])
         import numpy as _np
 

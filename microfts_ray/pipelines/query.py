@@ -130,6 +130,12 @@ class IndexReader:
         self._dense: tuple[np.ndarray, int] | None = None
         self._dense_keys: dict[int, np.ndarray] = {}
         self._contrib_cache: dict[int, np.ndarray] = {}
+        # tombstones (pipelines/update.py): docs deleted but not yet
+        # compacted away; every query path anti-joins them (X4,
+        # fts-lmdb.go:1151-1162)
+        self._tombstones = np.array(
+            sorted(self.manifest.get("tombstones", [])), dtype=np.uint64
+        )
 
     # -- posting access ----------------------------------------------------
     def _term_sources(self, term: int) -> list[_Segment]:
@@ -174,6 +180,31 @@ class IndexReader:
             if (i := _find(seg.terms, term)) is not None
         )
 
+    def prewarm(self, min_entries: int = 10_000) -> int:
+        """Decode the heaviest terms into the run cache (plus dense
+        keys/contribs) up to the cache budget — serving processes call
+        this once at load so query latency reflects steady state, the
+        same way the reference's mmap'd LMDB pages stay hot between
+        per-keystroke searches (org-fts.el)."""
+        totals: dict[int, int] = {}
+        for seg in self.shards or self.segments:
+            for t, n in zip(seg.terms.tolist(), seg.ns.tolist()):
+                totals[t] = totals.get(t, 0) + int(n)
+        budget = self._run_cache_cap - self._run_cache_entries
+        warmed = 0
+        use_dense = self._dense_space() is not None
+        for t, n in sorted(totals.items(), key=lambda kv: -kv[1]):
+            if n < min_entries or budget <= 0:
+                break
+            run = self.term_postings(int(t))
+            if len(run):
+                if use_dense:
+                    self._dense_key(int(t), run)
+                    self._term_contrib(int(t), run)
+                budget -= n
+                warmed += 1
+        return warmed
+
     # -- candidate kernel (X1) ---------------------------------------------
     def candidates(self, grams: set[int]) -> PostingRun | None:
         """Multi-gram AND intersection, smallest list first
@@ -196,12 +227,18 @@ class IndexReader:
             run = self.term_postings(g)
             mask = pair_isin(cur_doc, cur_chunk, run.doc_ids, run.chunk_ids)
             cur_doc, cur_chunk = cur_doc[mask], cur_chunk[mask]
+        live = self._live_mask(cur_doc)
         return PostingRun(
-            cur_doc,
-            cur_chunk,
+            cur_doc[live],
+            cur_chunk[live],
             np.empty(0, dtype=np.uint64),
             np.empty(0, dtype=np.uint64),
         )
+
+    def _live_mask(self, doc: np.ndarray) -> np.ndarray:
+        if self._tombstones.size == 0:
+            return np.ones(doc.size, dtype=bool)
+        return ~np.isin(doc, self._tombstones)
 
     # -- doc metadata / chunk text (J1/J2/J3) ------------------------------
     def _load_doc_meta(self) -> dict[int, tuple]:
@@ -311,6 +348,8 @@ class IndexReader:
         d, c, (n,) = pair_group_sum(
             np.concatenate(docs), np.concatenate(chunks), np.concatenate(counts)
         )
+        live = self._live_mask(d)
+        d, c, n = d[live], c[live], n[live]
         pct = n / len(grams)
         keep = pct >= threshold
         d, c, pct = d[keep], c[keep], pct[keep]
@@ -484,6 +523,9 @@ class IndexReader:
         """Dense scoring + tie-complete top-k preselection (avoids a
         full sort of the union: only score >= kth-largest survive)."""
         hit, score, doc_ids, stride = self._bm25_dense(grams)
+        if self._tombstones.size:
+            live = self._live_mask(doc_ids[hit // stride])
+            hit, score = hit[live], score[live]
         if score.size > k:
             kth = -np.partition(-score, k - 1)[k - 1]
             keep = score >= kth  # keep ALL ties at the boundary
@@ -509,7 +551,8 @@ class IndexReader:
         for contrib in contribs:
             score[inv[pos : pos + contrib.size]] += contrib
             pos += contrib.size
-        return d, c, score
+        live = self._live_mask(d)
+        return d[live], c[live], score[live]
 
     def _bm25_candidates_maxscore(self, infos, k: int, overfetch: int = 4):
         """Candidate (doc, chunk) set guaranteed to contain the true
@@ -551,6 +594,8 @@ class IndexReader:
         # truncate in full tie-break order (score desc, doc asc, chunk
         # asc) so equal-score boundary candidates keep the same
         # preference as the oracle's final ranking
+        live = self._live_mask(accD)
+        accD, accC, accS = accD[live], accC[live], accS[live]
         take = min(accS.size, kk)
         top = np.lexsort((accC, accD, -accS))[:take]
         return accD[top], accC[top]
@@ -596,6 +641,8 @@ class IndexReader:
         for contrib in contribs:  # ascending term order = oracle order
             score[inv[pos : pos + contrib.size]] += contrib
             pos += contrib.size
+        live = self._live_mask(d)
+        d, score = d[live], score[live]
         order = np.lexsort((d, -score))
         top = order[:k]
         return [

@@ -1,0 +1,194 @@
+"""Incremental maintenance: snapshot diff, delta build, tombstones,
+compact.
+
+Distributed re-expression of the reference's maintenance verbs
+(SURVEY.md §3.3):
+  * cmdUpdate (/root/reference/fts-lmdb.go:987-1026): scan for
+    changed/missing files -> here a snapshot diff on (repo, path,
+    commit) + content sha256 between the index's docs manifest and a
+    new corpus snapshot; changed/new rows are built into DELTA
+    partitions (same build path, new generation tag); missing keys
+    become tombstones. `dry_run` prints the plan (the reference's -t).
+  * cmdDelete / tombstones (fts-lmdb.go:893-903, 1628-1638): a
+    deletion writes only a tombstone entry; postings stay until
+    compaction. Queries anti-join the tombstone set (X4 semantics,
+    fts-lmdb.go:1151-1162).
+  * cmdCompact (fts-lmdb.go:919-985): rewrite dropping dead docs.
+    Here: re-merge shards with deleted_docs filtered, rewrite docs
+    sidecars, recompute global stats, clear tombstones. After
+    compact, query results are identical to a fresh build of the
+    live corpus (tested).
+
+BM25 caveat (documented, Lucene-like): between update and compact,
+tombstoned docs still count in df/avgdl; compact restores exact
+fresh-build statistics.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..stages.tokenize import doc_ids_column
+from ..sources.corpus import corpus_sha256
+from ..state import manifest as mf
+from .build import build_partition, plan_partitions
+
+
+def _index_doc_shas(index_dir: str, manifest: dict) -> dict[int, str]:
+    """doc_id -> content sha from all live docs sidecars."""
+    out: dict[int, str] = {}
+    for p in manifest["partitions"]:
+        t = pq.read_table(
+            os.path.join(index_dir, p["segment"]["docs"]),
+            columns=["doc_id", "content_sha256"],
+        )
+        for d, s in zip(t["doc_id"].to_numpy(), t["content_sha256"].to_pylist()):
+            out[int(d)] = s
+    tombs = set(manifest.get("tombstones", []))
+    return {d: s for d, s in out.items() if d not in tombs}
+
+
+def snapshot_diff(index_dir: str, corpus_paths: list[str]) -> dict:
+    """Classify snapshot rows vs the index: new/changed doc keys and
+    deleted doc_ids (keys in the index missing from the snapshot)."""
+    manifest = mf.load_manifest(index_dir)
+    indexed = _index_doc_shas(index_dir, manifest)
+    seen: set[int] = set()
+    new_or_changed: list[tuple[str, int]] = []  # (path, row_idx)
+    for path in sorted(corpus_paths):
+        t = pq.read_table(path, columns=["repo", "path", "commit", "content"])
+        ids = doc_ids_column(t["repo"], t["path"], t["commit"])
+        for i, d in enumerate(ids):
+            d = int(d)
+            seen.add(d)
+            sha = indexed.get(d)
+            if sha is None or sha != corpus_sha256(t["content"][i].as_py()):
+                new_or_changed.append((path, i))
+    deleted = sorted(set(indexed) - seen)
+    return {"new_or_changed": new_or_changed, "deleted": deleted}
+
+
+def apply_update(
+    index_dir: str, corpus_paths: list[str], *, dry_run: bool = False,
+    chunker: str | None = None, target_rows_per_part: int = 4000,
+) -> dict:
+    """Snapshot-diff update: build delta partitions for new/changed
+    rows, tombstone deleted doc keys; returns the updated manifest
+    (or the plan if dry_run)."""
+    manifest = mf.load_manifest(index_dir)
+    diff = snapshot_diff(index_dir, corpus_paths)
+    if dry_run:
+        return {
+            "dry_run": True,
+            "n_new_or_changed": len(diff["new_or_changed"]),
+            "deleted": diff["deleted"],
+        }
+    chunker = chunker or manifest.get("chunker", "lines")
+    gen = str(uuid.uuid4().hex[:8])
+    delta_paths: list[str] = []
+    if diff["new_or_changed"]:
+        # materialize changed rows into delta corpus files (one per
+        # source file), then run the ordinary partition build on them
+        delta_dir = os.path.join(index_dir, "delta", f"gen-{gen}")
+        os.makedirs(delta_dir, exist_ok=True)
+        by_file: dict[str, list[int]] = {}
+        for path, i in diff["new_or_changed"]:
+            by_file.setdefault(path, []).append(i)
+        for j, (path, rows) in enumerate(sorted(by_file.items())):
+            t = pq.read_table(path).take(rows)
+            out = os.path.join(delta_dir, f"delta-{j:05d}.parquet")
+            pq.write_table(t, out, row_group_size=max(1, target_rows_per_part // 4))
+            delta_paths.append(out)
+        for part in plan_partitions(delta_paths, target_rows_per_part):
+            part["pid"] = f"g{gen}-{part['pid']}"
+            entry = build_partition(part, index_dir, chunker)
+            manifest["partitions"].append(
+                {k: entry[k] for k in ("pid", "lineage", "segment", "stats")}
+            )
+    # tombstones: deleted keys + superseded versions of changed docs
+    # (a changed file has a new commit => its old doc_id is in
+    # `deleted` already, since the old key left the snapshot)
+    tombs = sorted(set(manifest.get("tombstones", [])) | set(diff["deleted"]))
+    manifest["tombstones"] = tombs
+    # recompute global stats over live partitions (tombstones still
+    # included until compact — documented drift)
+    agg = {
+        k: int(sum(p["stats"][k] for p in manifest["partitions"]))
+        for k in ("n_docs", "n_chunks", "sum_dl", "n_terms", "n_postings")
+    }
+    manifest["global"] = {
+        **agg,
+        "avgdl": (agg["sum_dl"] / agg["n_chunks"]) if agg["n_chunks"] else 0.0,
+    }
+    manifest.pop("merged", None)  # stale after a delta; re-merge or query unmerged
+    mf.commit_manifest(index_dir, manifest)
+    return manifest
+
+
+def delete_doc(index_dir: str, repo: str, path: str, commit: str) -> dict:
+    """Tombstone one doc (reference cmdDelete semantics: no space is
+    reclaimed until compact)."""
+    from ..stages.tokenize import doc_id_for
+
+    manifest = mf.load_manifest(index_dir)
+    tombs = set(manifest.get("tombstones", []))
+    tombs.add(doc_id_for(repo, path, commit))
+    manifest["tombstones"] = sorted(tombs)
+    mf.commit_manifest(index_dir, manifest)
+    return manifest
+
+
+def compact(index_dir: str, n_shards: int = 8, concurrency: int | None = None) -> dict:
+    """Reclaim space: rewrite docs sidecars without tombstoned docs,
+    re-merge posting shards dropping their entries, recompute stats,
+    clear tombstones. Result is query-identical to a fresh build."""
+    manifest = mf.load_manifest(index_dir)
+    tombs = np.array(sorted(manifest.get("tombstones", [])), dtype=np.uint64)
+    live_parts = []
+    for p in manifest["partitions"]:
+        docs_path = os.path.join(index_dir, p["segment"]["docs"])
+        t = pq.read_table(docs_path)
+        if tombs.size:
+            keep = ~np.isin(t["doc_id"].to_numpy(), tombs)
+            if not keep.all():
+                t = t.filter(pa.array(keep))
+                tmp = docs_path + f".{uuid.uuid4().hex[:8]}.tmp"
+                pq.write_table(t, tmp, row_group_size=512, compression="zstd")
+                os.replace(tmp, docs_path)
+        if t.num_rows == 0:
+            continue
+        stats = dict(p["stats"])
+        stats["n_docs"] = int(t.num_rows)
+        stats["n_chunks"] = int(pa.compute.sum(t["n_chunks"]).as_py() or 0)
+        stats["sum_dl"] = int(pa.compute.sum(t["sum_dl"]).as_py() or 0)
+        live_parts.append({**p, "stats": stats})
+    manifest["partitions"] = live_parts
+    agg = {
+        k: int(sum(p["stats"][k] for p in live_parts))
+        for k in ("n_docs", "n_chunks", "sum_dl")
+    }
+    manifest["global"].update(
+        **agg, avgdl=(agg["sum_dl"] / agg["n_chunks"]) if agg["n_chunks"] else 0.0
+    )
+    manifest["tombstones"] = []
+    manifest.pop("merged", None)
+    mf.commit_manifest(index_dir, manifest)
+    # re-merge with tombstones dropped from posting runs
+    from .merge import merge_index
+
+    # clear stale merged checkpoints so shards rebuild
+    man_dir = os.path.join(index_dir, mf.PART_DIR)
+    for f in os.listdir(man_dir):
+        if f.startswith("part-merged-"):
+            os.unlink(os.path.join(man_dir, f))
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "merged"), ignore_errors=True)
+    return merge_index(
+        index_dir, n_shards=n_shards, concurrency=concurrency, deleted_docs=tombs
+    )

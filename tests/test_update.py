@@ -1,0 +1,126 @@
+"""Incremental update / delete / compact tests (pipelines/update.py).
+
+Key invariant: after update + compact, query results are identical to
+a fresh build of the live corpus (reference compact semantics,
+fts-lmdb.go:919-985).
+"""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from microfts_ray.oracle import OracleIndex
+from microfts_ray.pipelines.build import build_index
+from microfts_ray.pipelines.query import IndexReader
+from microfts_ray.pipelines.update import apply_update, compact, delete_doc, snapshot_diff
+from microfts_ray.sources.corpus import CORPUS_SCHEMA, gen_table
+
+
+def _write(rows, path, rg=10):
+    pq.write_table(pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA), path, row_group_size=rg)
+
+
+@pytest.fixture()
+def setup(tmp_path):
+    rows = gen_table(0, 40).to_pylist()
+    src = str(tmp_path / "v1.parquet")
+    _write(rows, src)
+    idx = str(tmp_path / "idx")
+    build_index([src], idx, target_rows_per_part=10)
+    return rows, src, idx, tmp_path
+
+
+def test_snapshot_diff_classes(setup):
+    rows, src, idx, tmp = setup
+    # v2: change 3 docs (new commit+content), delete 2, add 2
+    v2 = [dict(r) for r in rows]
+    for i in range(3):
+        v2[i] = {**v2[i], "commit": "f" * 40, "content": v2[i]["content"] + "changed_zz\n"}
+    deleted_keys = [(r["repo"], r["path"], r["commit"]) for r in v2[38:]]
+    v2 = v2[:38]
+    v2 += gen_table(100, 2).to_pylist()
+    src2 = str(tmp / "v2.parquet")
+    _write(v2, src2)
+    diff = snapshot_diff(idx, [src2])
+    assert len(diff["new_or_changed"]) == 5  # 3 changed + 2 added
+    # deleted: 3 old versions of changed docs + 2 dropped docs
+    assert len(diff["deleted"]) == 5
+
+
+def test_update_then_compact_equals_fresh_build(setup):
+    rows, src, idx, tmp = setup
+    v2 = [dict(r) for r in rows]
+    v2[0] = {**v2[0], "commit": "e" * 40, "content": "def changed_fn(x):\n    return x\n"}
+    v2 = v2[:-2]  # delete last two
+    v2 += gen_table(200, 3).to_pylist()  # add three
+    src2 = str(tmp / "v2.parquet")
+    _write(v2, src2)
+
+    m = apply_update(idx, [src2], target_rows_per_part=10)
+    assert m["tombstones"]  # old version + 2 deleted
+    reader = IndexReader(idx)
+    oracle = OracleIndex.build(v2)
+
+    # pre-compact: tombstoned docs never surface
+    for q in [("def",), ("changed_fn",), ("import", "mod_1")]:
+        got = reader.search(*q)
+        want = oracle.search(*q)
+        assert [(r["doc_id"], r["chunk_id"]) for r in got] == [
+            (r["doc_id"], r["chunk_id"]) for r in want
+        ], q
+
+    compact(idx, n_shards=4)
+    reader2 = IndexReader(idx)
+    assert reader2._tombstones.size == 0
+    # post-compact: stats AND scores identical to a fresh build
+    g = reader2.manifest["global"]
+    assert g["n_docs"] == len(v2)
+    assert g["n_chunks"] == oracle.n_chunks
+    assert g["sum_dl"] == oracle.sum_dl
+    for q in ["def", "changed_fn", "import mod_1"]:
+        got = reader2.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(r["doc_id"], r["chunk_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["chunk_id"], r["score"]) for r in want
+        ], q
+
+
+def test_dry_run_makes_no_changes(setup):
+    rows, src, idx, tmp = setup
+    v2 = rows[:-5]
+    src2 = str(tmp / "v2.parquet")
+    _write(v2, src2)
+    import json
+
+    before = json.dumps(IndexReader(idx).manifest, sort_keys=True)
+    plan = apply_update(idx, [src2], dry_run=True)
+    assert plan["dry_run"] and len(plan["deleted"]) == 5
+    after = json.dumps(IndexReader(idx).manifest, sort_keys=True)
+    assert before == after
+
+
+def test_delete_doc_tombstone(setup):
+    rows, src, idx, tmp = setup
+    r0 = rows[0]
+    reader = IndexReader(idx)
+    uniq_hits = reader.search("def")
+    delete_doc(idx, r0["repo"], r0["path"], r0["commit"])
+    reader2 = IndexReader(idx)
+    from microfts_ray.stages.tokenize import doc_id_for
+
+    dead = doc_id_for(r0["repo"], r0["path"], r0["commit"])
+    hits = reader2.search("def")
+    assert all(h["doc_id"] != dead for h in hits)
+    assert len(hits) <= len(uniq_hits)
+
+
+def test_idempotent_update_noop(setup):
+    rows, src, idx, tmp = setup
+    m = apply_update(idx, [src], target_rows_per_part=10)
+    assert m.get("tombstones") == []
+    assert len(m["partitions"]) == len(IndexReader(idx).manifest["partitions"])
+    diff = snapshot_diff(idx, [src])
+    assert not diff["new_or_changed"] and not diff["deleted"]
