@@ -35,7 +35,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_FILES = int(os.environ.get("BENCH_FILES", "200000"))
-ROWS_PER_PART = int(os.environ.get("BENCH_ROWS_PER_PART", "2000"))
+ROWS_PER_PART = int(os.environ.get("BENCH_ROWS_PER_PART", "500"))
 CORPUS_DIR = f"/tmp/microfts_bench/corpus_{BENCH_FILES}"
 
 # the FIXTURES.md §5-style reference query set (mix of df deciles)
@@ -63,7 +63,7 @@ def _init_ray():
 def _ensure_corpus() -> list[str]:
     from microfts_ray.sources.corpus import write_corpus
 
-    write_corpus(CORPUS_DIR, BENCH_FILES, files_per_shard=25000, row_group_size=ROWS_PER_PART)
+    write_corpus(CORPUS_DIR, BENCH_FILES, files_per_shard=25000, row_group_size=250)
     return sorted(glob.glob(f"{CORPUS_DIR}/*.parquet"))
 
 
@@ -86,7 +86,10 @@ def timed_build() -> dict:
     t0 = time.perf_counter()
     manifest = build_index(paths, index_dir, target_rows_per_part=ROWS_PER_PART)
     t1 = time.perf_counter()
-    merge_index(index_dir, n_shards=max(8, NUM_CPUS), concurrency=NUM_CPUS)
+    # fixed shard count: the job must be identical at every
+    # parallelism level for the scaling comparison to be fair
+    merge_index(index_dir, n_shards=int(os.environ.get("INDEX_SHARDS", "32")),
+                concurrency=NUM_CPUS)
     t2 = time.perf_counter()
     return {
         "index_dir": index_dir,
@@ -182,7 +185,10 @@ def run_build_only() -> dict:
         "metric": "index build",
         "value": round(b["build_sec"], 3),
         "unit": "sec",
-        "queries": {"index_build": round(b["build_sec"], 3)},
+        "queries": {
+            "index_build": round(b["build_segments_sec"], 3),
+            "index_merge": round(b["merge_sec"], 3),
+        },
         "sf": CORPUS_DIR,
         "num_cpus": NUM_CPUS,
         "build_files_per_sec": round(b["files_per_sec"], 1),
@@ -193,7 +199,8 @@ def run_scaling() -> dict:
     """Same build at N and 4N cpus in fresh processes (north_rule
     scaling criterion, sandbox form)."""
     _ensure_corpus()  # generate once outside both timed runs
-    lo, hi = 8, 32
+    lo = int(os.environ.get("SCALING_LO", "8"))
+    hi = int(os.environ.get("SCALING_HI", "32"))
     results = {}
     for n in (lo, hi):
         env = dict(

@@ -148,17 +148,17 @@ def _gram_stream(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     previously appended digit was a boundary (fulltext.go:227-231).
     """
     if vals.size == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint16)
+        return np.empty(0, dtype=np.int32), np.empty(0, dtype=np.uint16)
     # collapse boundary runs: keep a position if it's non-boundary or
     # the previous kept char is non-boundary
     is_b = vals == 0
     prev_b = np.concatenate(([True], is_b[:-1]))
     keep = ~(is_b & prev_b)
-    pos = np.nonzero(keep)[0]
+    pos = np.nonzero(keep)[0].astype(np.int32)  # batches < 2^31 chars
     c = vals[keep].astype(np.int32)
     n = c.size
     if n == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint16)
+        return np.empty(0, dtype=np.int32), np.empty(0, dtype=np.uint16)
     b = np.concatenate(([0], c[:-1]))
     a = np.concatenate(([0, 0], c[:-2]))
     a = np.where(b == 0, 0, a)  # window reset at word start
@@ -204,11 +204,18 @@ def extract_batch(
     ends = starts + lens  # a gram ending at `ends[i]` (the separator) is chunk i's
     chunk_of = np.searchsorted(ends, pos, side="left")
     chunk_of = np.minimum(chunk_of, n_chunks - 1)
-    # distinct (chunk, gram) with counts; np.unique sorts lexicographically
-    key = chunk_of.astype(np.uint64) * np.uint64(GRAM_3_BASE) + grams.astype(np.uint64)
+    # distinct (chunk, gram) with counts; np.unique sorts
+    # lexicographically. uint32 keys (when they fit) halve the memory
+    # traffic of the sort — the hot loop of the whole build.
+    if n_chunks * GRAM_3_BASE < (1 << 32):
+        key = (chunk_of.astype(np.uint32) * np.uint32(GRAM_3_BASE)
+               + grams.astype(np.uint32))
+    else:
+        key = (chunk_of.astype(np.uint64) * np.uint64(GRAM_3_BASE)
+               + grams.astype(np.uint64))
     ukey, tf = np.unique(key, return_counts=True)
-    chunk_idx = (ukey // np.uint64(GRAM_3_BASE)).astype(np.int64)
-    term = (ukey % np.uint64(GRAM_3_BASE)).astype(np.uint16)
+    chunk_idx = (ukey // GRAM_3_BASE).astype(np.int64)
+    term = (ukey % GRAM_3_BASE).astype(np.uint16)
     totals = np.zeros(n_chunks, dtype=np.int64)
     np.add.at(totals, chunk_of, 1)
     return chunk_idx, term, tf.astype(np.int64), totals

@@ -79,22 +79,17 @@ def get_counted_bytes(buf: bytes | memoryview, pos: int = 0) -> tuple[bytes, int
 # Vectorized array codec
 # ---------------------------------------------------------------------------
 
+_WIDTH_THRESHOLDS = np.array(
+    [1 << 7] + [1 << (12 + 8 * k) for k in range(7)], dtype=np.uint64
+)
+
+
 def sizes_array(vals: np.ndarray) -> np.ndarray:
-    """Encoded width (1..9 bytes) of each uint64 value, vectorized."""
+    """Encoded width (1..9 bytes) of each uint64 value: one
+    searchsorted against the 8 width-table thresholds
+    (README.org:216-225)."""
     v = vals.astype(np.uint64, copy=False)
-    w = np.ones(v.shape, dtype=np.int64)
-    big = v >= np.uint64(1 << 7)
-    # width = 2 + number of 8-bit shifts to exhaust (v >> 12)
-    tmp = v >> np.uint64(12)
-    extra = np.zeros(v.shape, dtype=np.int64)
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        extra[nz] += 1
-        tmp = tmp >> np.uint64(8)
-    w[big] = extra[big] + 2
-    return w
+    return np.searchsorted(_WIDTH_THRESHOLDS, v, side="right").astype(np.int64) + 1
 
 
 def encode_array(vals: np.ndarray) -> bytes:

@@ -185,17 +185,45 @@ def encode_partition_runs(entries: dict[str, np.ndarray]) -> pa.Table:
     )
 
 
-def build_partition(part: dict, index_dir: str, chunker: str = "lines") -> dict:
-    """Build one partition's segment; idempotent and atomic.
+def group_partitions(parts: list[dict], n_blocks: int) -> list[dict]:
+    """Group consecutive same-file partitions into per-task blocks.
+    A block's pid is stable for a given plan, so resume works at block
+    granularity. Sub-parts stay the tokenize/sort unit."""
+    if not parts:
+        return []
+    per_task = max(1, round(len(parts) / n_blocks))
+    blocks = []
+    i = 0
+    while i < len(parts):
+        group = [parts[i]]
+        j = i
+        while (
+            len(group) < per_task
+            and j + 1 < len(parts)
+            and parts[j + 1]["path"] == parts[i]["path"]
+        ):
+            j += 1
+            group.append(parts[j])
+        i = j + 1
+        blocks.append(
+            {
+                "pid": group[0]["pid"]
+                if len(group) == 1
+                else f"{group[0]['pid']}-x{len(group)}",
+                "path": group[0]["path"],
+                "rg_start": group[0]["rg_start"],
+                "rg_end": group[-1]["rg_end"],
+                "num_rows": sum(g["num_rows"] for g in group),
+                "sub_parts": group,
+            }
+        )
+    return blocks
 
-    Returns the checkpoint entry (also persisted under _manifest/).
-    """
-    existing = mf.read_part_checkpoint(index_dir, part["pid"])
-    if existing is not None:
-        existing["resumed"] = True
-        return existing
 
-    t0 = time.perf_counter()
+def _tokenize_ranges(part: dict, chunker: str) -> tuple[pa.Table, pa.Table]:
+    """Tokenize+encode one partition's row-group range; returns
+    (terms table, docs table with src_rg lineage). Sized so the sort
+    working set stays cache-resident (SURVEY.md §4 memory notes)."""
     f = pq.ParquetFile(part["path"])
     rgs = list(range(part["rg_start"], part["rg_end"]))
     tbl = f.read_row_groups(
@@ -208,6 +236,36 @@ def build_partition(part: dict, index_dir: str, chunker: str = "lines") -> dict:
     rg_rows = [f.metadata.row_group(i).num_rows for i in rgs]
     src_rg = np.repeat(np.array(rgs, dtype=np.int32), rg_rows)
     docs = docs.append_column("src_rg", pa.array(src_rg, type=pa.int32()))
+    return terms_tbl, docs
+
+
+def build_partition(part: dict, index_dir: str, chunker: str = "lines") -> dict:
+    """Build one partition's segment; idempotent and atomic.
+
+    Returns the checkpoint entry (also persisted under _manifest/).
+    A partition may carry `sub_parts`: several tokenize-sized
+    row-group ranges whose encoded rows are written as ONE segment
+    file (rows re-sorted by term so parquet stats still prune) — this
+    keeps sort working sets cache-sized without exploding the segment
+    file count that the merge stage must open.
+    """
+    existing = mf.read_part_checkpoint(index_dir, part["pid"])
+    if existing is not None:
+        existing["resumed"] = True
+        return existing
+
+    t0 = time.perf_counter()
+    subs = part.get("sub_parts") or [part]
+    term_tables, doc_tables = [], []
+    for sub in subs:
+        t_tbl, d_tbl = _tokenize_ranges(sub, chunker)
+        term_tables.append(t_tbl)
+        doc_tables.append(d_tbl)
+    terms_tbl = pa.concat_tables(term_tables)
+    if len(term_tables) > 1 and terms_tbl.num_rows:
+        order = np.argsort(terms_tbl["term"].to_numpy(), kind="stable")
+        terms_tbl = terms_tbl.take(pa.array(order))
+    docs = pa.concat_tables(doc_tables)
 
     seg_dir = os.path.join(index_dir, "segments", part["pid"])
     os.makedirs(seg_dir, exist_ok=True)
@@ -217,7 +275,8 @@ def build_partition(part: dict, index_dir: str, chunker: str = "lines") -> dict:
         # small row groups + stats: term-range pruning for point
         # lookups AND for the merge stage (a merge shard reads ~1/M of
         # each segment instead of whole row groups)
-        pq.write_table(out_tbl, tmp, row_group_size=512, compression="zstd")
+        comp = "lz4" if name == "terms" else "zstd"
+        pq.write_table(out_tbl, tmp, row_group_size=512, compression=comp)
         os.replace(tmp, os.path.join(seg_dir, f"{name}.parquet"))
 
     entry = {
@@ -261,7 +320,15 @@ def build_index(
     re-run after failure skips completed partitions.
     """
     parts = plan_partitions(corpus_paths, target_rows_per_part)
-    ds = ray.data.from_items(parts, override_num_blocks=len(parts))
+    # group tokenize-sized partitions into per-task segment blocks:
+    # sorts stay cache-resident (small sub-parts) while segment-file
+    # count and task-dispatch overhead stay low (few blocks)
+    try:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n_cpus = 8
+    blocks = group_partitions(parts, max(1, min(len(parts), n_cpus * 4)))
+    ds = ray.data.from_items(blocks, override_num_blocks=len(blocks))
     pkg_root = _pkg_root()
 
     def run_part(batch: dict) -> dict:
@@ -276,13 +343,25 @@ def build_index(
 
         from microfts_ray.pipelines.build import build_partition as bp
 
+        def clean(obj):
+            if isinstance(obj, _np.integer):
+                return int(obj)
+            if isinstance(obj, (list, _np.ndarray)):
+                return [clean(x) for x in obj]
+            if isinstance(obj, dict):
+                return {k: clean(v) for k, v in obj.items()}
+            return obj
+
         entries = []
         for i in range(len(batch["pid"])):
-            part = {
-                k: (int(v) if isinstance(v, _np.integer) else v)
-                for k, v in ((kk, batch[kk][i]) for kk in
-                             ("pid", "path", "rg_start", "rg_end", "num_rows"))
-            }
+            part = clean(
+                {
+                    kk: batch[kk][i]
+                    for kk in ("pid", "path", "rg_start", "rg_end", "num_rows",
+                               "sub_parts")
+                    if kk in batch
+                }
+            )
             entries.append(bp(part, index_dir, chunker))
         return {
             "pid": [e["pid"] for e in entries],
@@ -294,12 +373,13 @@ def build_index(
     kwargs = {}
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
-    # one descriptor per batch -> one segment per task invocation
-    ds.map_batches(run_part, batch_size=1, num_cpus=1, **kwargs).materialize()
+    # each task builds its block's partitions sequentially, one
+    # checkpointed segment per partition
+    ds.map_batches(run_part, batch_size=None, num_cpus=1, **kwargs).materialize()
 
     # assemble + commit the generation manifest from the checkpoints
     entries = []
-    for part in parts:
+    for part in blocks:
         e = mf.read_part_checkpoint(index_dir, part["pid"])
         if e is None:
             raise RuntimeError(f"partition {part['pid']} missing checkpoint")

@@ -2,28 +2,34 @@
 
 The reference's compact (/root/reference/fts-lmdb.go:919-985) rewrites
 every posting list in one transaction. Here, build partitions produce
-doc-disjoint posting runs (build.py); this stage k-way merges them
+doc-disjoint posting runs (build.py); this stage consolidates them
 into M term-range shards so a query touches ONE file per term instead
-of one per build partition — Lucene/LSM-style segment consolidation,
-run as a stateful actor-pool `map_batches` (SURVEY.md §2.8 D3, §7.1
-step 5).
+of one per build partition — Lucene/LSM-style segment consolidation.
+
+Execution is Ray-Data-native: the segment rows (term, blobs) are read
+as a Dataset, a vectorized map_batches assigns each row its shard by
+term-range, and ONE groupby(shard) shuffle co-locates each shard's
+rows for its map_groups writer. This moves the posting blobs through
+the object store exactly once, instead of every shard task re-opening
+every segment file (opens would scale as #segments x #shards).
 
 Skew handling (the north_star's hot-term concern): shard boundaries
-are NOT equal term ranges — the gram distribution is extremely skewed
-(`DEF`/`IMP`-class grams carry orders of magnitude more postings).
-merge_index first aggregates per-term posting counts from the segment
-directories (a 50,653-long array — the bounded vocabulary makes this
-trivial) and cuts boundaries at equal POSTING MASS, so merge tasks
-are balanced. A single ultra-hot term still lives in one shard
-(per-term atomicity); splitting a term across doc-ranges is the
+are cut at ~equal POSTING MASS from a sampled per-term histogram (the
+bounded 50,653-term vocabulary makes the histogram one small array;
+sampling segments is unbiased because build partitions are
+statistically alike). A single ultra-hot term still lives in one
+shard (per-term atomicity); splitting a term across doc-ranges is the
 next escalation and slots into the same layout (runs are doc-sorted).
 
-Layout: merged/shard=K/terms.parquet over contiguous term range
-[bounds[K], bounds[K+1]); routing = searchsorted(bounds, term).
-Tombstoned docs are dropped during merge (compact semantics). Each
-shard merge is atomic + checkpointed, so a crashed merge resumes
-per-shard. At 10^12-file scale, levels of fan-in F merges repeat
-(log_F(#partitions) levels) with the same code per level.
+Modes:
+  * "stack" (default): blobs pass through untouched; a shard holds
+    multiple doc-disjoint rows per term which the reader k-way merges
+    at decode (amortized by its run cache). I/O-bound -> scales.
+  * "rewrite": decode-all, drop tombstones, re-sort, re-encode to one
+    run per term — the compaction path.
+
+Each shard write is atomic + checkpointed; a crashed merge re-runs
+only missing shards (the shuffle is recomputed by Ray lineage).
 """
 
 from __future__ import annotations
@@ -42,84 +48,18 @@ from ..state import manifest as mf
 from .build import TERMS_SCHEMA, _pkg_root, encode_partition_runs
 
 
-def merge_shard(
-    index_dir: str,
-    shard: int,
-    n_shards: int,
-    lo: int,
-    hi: int,
-    terms_paths: list[str],
-    deleted_docs: np.ndarray | None = None,
-) -> dict:
-    """Merge one term-range shard [lo, hi) from all build segments;
-    atomic + idempotent.
-
-    Reads only row groups intersecting the term range (terms sorted
-    within each segment -> parquet stats prune), bulk-decodes with one
-    vectorized pass per file (decode_terms_table), drops tombstones,
-    re-sorts and re-encodes with the build's vectorized encoder.
-    """
-    pid = f"merged-{shard:04d}-of-{n_shards:04d}"
-    existing = mf.read_part_checkpoint(index_dir, pid)
-    if existing is not None:
-        return existing
-    cols = ["term", "doc_id", "chunk_id", "tf", "dl"]
-    parts: dict[str, list[np.ndarray]] = {c: [] for c in cols}
-    from ..functions.postings import decode_terms_table
-
-    for path in terms_paths:
-        f = pq.ParquetFile(path)
-        rgs = []
-        for i in range(f.metadata.num_row_groups):
-            st = f.metadata.row_group(i).column(0).statistics
-            if st is None or (st.min < hi and st.max >= lo):
-                rgs.append(i)
-        if not rgs:
-            continue
-        tbl = f.read_row_groups(rgs)
-        terms = tbl["term"].to_numpy()
-        keep = (terms >= lo) & (terms < hi)
-        if not keep.any():
-            continue
-        dec = decode_terms_table(tbl.filter(keep))  # bulk vectorized decode
-        for c in cols:
-            parts[c].append(dec[c])
-    out_dir = os.path.join(index_dir, "merged", f"shard={shard:04d}")
-    os.makedirs(out_dir, exist_ok=True)
-    if parts["term"]:
-        entries = {c: np.concatenate(parts[c]) for c in cols}
-        if deleted_docs is not None and deleted_docs.size:
-            keep = ~np.isin(entries["doc_id"], deleted_docs)
-            entries = {c: v[keep] for c, v in entries.items()}
-        order = np.lexsort((entries["chunk_id"], entries["doc_id"], entries["term"]))
-        entries = {c: v[order] for c, v in entries.items()}
-        tbl = encode_partition_runs(entries)
+def _balanced_bounds(
+    terms_paths: list[str], n_shards: int, sample: int = 64
+) -> list[int]:
+    """Term-range boundaries with ~equal posting mass per shard, from
+    a segment sample (exact balance is not needed, only skew avoidance)."""
+    if len(terms_paths) > sample:
+        step = len(terms_paths) / sample
+        paths = [terms_paths[int(i * step)] for i in range(sample)]
     else:
-        tbl = TERMS_SCHEMA.empty_table()
-    tmp = os.path.join(out_dir, f".terms.{uuid.uuid4().hex[:8]}.tmp")
-    pq.write_table(tbl, tmp, row_group_size=512, compression="zstd")
-    os.replace(tmp, os.path.join(out_dir, "terms.parquet"))
-    entry = {
-        "pid": pid,
-        "shard": shard,
-        "n_shards": n_shards,
-        "lo": lo,
-        "hi": hi,
-        "segment": {"terms": f"merged/shard={shard:04d}/terms.parquet"},
-        "stats": {"n_terms": int(tbl.num_rows),
-                  "n_postings": int(pa.compute.sum(tbl["n"]).as_py() or 0)},
-        "lineage": {"inputs": [os.path.relpath(p, index_dir) for p in terms_paths]},
-    }
-    mf.write_part_checkpoint(index_dir, pid, entry)
-    return entry
-
-
-def _balanced_bounds(terms_paths: list[str], n_shards: int) -> list[int]:
-    """Term-range boundaries with ~equal posting mass per shard.
-    Exploits the bounded 50,653-term vocabulary: the full per-term
-    count histogram fits in one small array."""
+        paths = terms_paths
     counts = np.zeros(GRAM_3_BASE, dtype=np.int64)
-    for path in terms_paths:
+    for path in paths:
         t = pq.read_table(path, columns=["term", "n"])
         np.add.at(counts, t["term"].to_numpy(), t["n"].to_numpy())
     cum = np.cumsum(counts, dtype=np.int64)
@@ -135,55 +75,161 @@ def _balanced_bounds(terms_paths: list[str], n_shards: int) -> list[int]:
     return bounds
 
 
+def write_shard_table(
+    index_dir: str,
+    shard: int,
+    n_shards: int,
+    lo: int,
+    hi: int,
+    tbl: pa.Table,
+    deleted_docs: np.ndarray | None = None,
+    mode: str = "stack",
+) -> dict:
+    """Sort/encode one shard's rows and write its file atomically;
+    records the per-shard checkpoint."""
+    if deleted_docs is not None and len(deleted_docs) and mode == "stack":
+        mode = "rewrite"  # tombstone drop requires decoding
+    pid = f"merged-{shard:04d}-of-{n_shards:04d}"
+    existing = mf.read_part_checkpoint(index_dir, pid)
+    if existing is not None:
+        return existing
+    if tbl.num_rows and mode == "stack":
+        order = np.argsort(tbl["term"].to_numpy(), kind="stable")
+        out_tbl = tbl.take(pa.array(order))
+    elif tbl.num_rows:
+        from ..functions.postings import decode_terms_table
+
+        dec = decode_terms_table(tbl)
+        cols = ["term", "doc_id", "chunk_id", "tf", "dl"]
+        entries = {c: dec[c] for c in cols}
+        if deleted_docs is not None and len(deleted_docs):
+            keep = ~np.isin(
+                entries["doc_id"], np.asarray(deleted_docs, dtype=np.uint64)
+            )
+            entries = {c: v[keep] for c, v in entries.items()}
+        order = np.lexsort(
+            (entries["chunk_id"], entries["doc_id"], entries["term"])
+        )
+        entries = {c: v[order] for c, v in entries.items()}
+        out_tbl = encode_partition_runs(entries)
+    else:
+        out_tbl = TERMS_SCHEMA.empty_table()
+    out_dir = os.path.join(index_dir, "merged", f"shard={shard:04d}")
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f".terms.{uuid.uuid4().hex[:8]}.tmp")
+    pq.write_table(out_tbl, tmp, row_group_size=512, compression="lz4")
+    os.replace(tmp, os.path.join(out_dir, "terms.parquet"))
+    entry = {
+        "pid": pid,
+        "shard": shard,
+        "n_shards": n_shards,
+        "lo": lo,
+        "hi": hi,
+        "segment": {"terms": f"merged/shard={shard:04d}/terms.parquet"},
+        "stats": {
+            "n_terms": int(out_tbl.num_rows),
+            "n_postings": int(pa.compute.sum(out_tbl["n"]).as_py() or 0),
+        },
+    }
+    mf.write_part_checkpoint(index_dir, pid, entry)
+    return entry
+
+
 def merge_index(
     index_dir: str,
     n_shards: int = 8,
     concurrency: int | None = None,
     deleted_docs: np.ndarray | None = None,
+    mode: str = "stack",
 ) -> dict:
     """Merge all build segments into n_shards mass-balanced term-range
-    shards; records bounds in the manifest (idempotent, per-shard
-    resumable). deleted_docs (tombstoned doc_ids) are dropped from
-    every posting run — compact semantics."""
+    shards via one groupby(shard) shuffle; records bounds in the
+    manifest (idempotent, per-shard resumable)."""
     manifest = mf.load_manifest(index_dir)
     terms_paths = [
         os.path.join(index_dir, p["segment"]["terms"]) for p in manifest["partitions"]
     ]
     bounds = _balanced_bounds(terms_paths, n_shards)
-    ds = ray.data.from_items(
-        [{"shard": s, "lo": bounds[s], "hi": bounds[s + 1]} for s in range(n_shards)],
-        override_num_blocks=n_shards,
-    )
+    inner = np.array(bounds[1:-1], dtype=np.int64)
     pkg_root = _pkg_root()
-    dead = deleted_docs if deleted_docs is not None and len(deleted_docs) else None
+    dead = (
+        np.asarray(deleted_docs, dtype=np.uint64)
+        if deleted_docs is not None and len(deleted_docs)
+        else None
+    )
 
     def run_shard(batch: dict) -> dict:
-        # self-bootstrapping (see build.run_part): workers need the
-        # package importable regardless of driver cwd
+        # direct-read merge: each shard task reads only the row groups
+        # of its term range (terms sorted in segments -> parquet stats
+        # prune). Measured faster than a Ray groupby shuffle of the
+        # blob rows at sandbox scale; at true multi-node scale the
+        # groupby-shuffle variant trades opens for object-store
+        # transfer and becomes preferable — both write the same
+        # layout through write_shard_table.
         import sys
 
         if pkg_root not in sys.path:
             sys.path.insert(0, pkg_root)
-        from microfts_ray.pipelines.merge import merge_shard as ms
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from microfts_ray.pipelines.merge import write_shard_table as wst
 
         out = []
         for shard, lo, hi in zip(batch["shard"], batch["lo"], batch["hi"]):
-            e = ms(
-                index_dir, int(shard), n_shards, int(lo), int(hi), terms_paths,
-                deleted_docs=dead,
+            shard, lo, hi = int(shard), int(lo), int(hi)
+            pid = f"merged-{shard:04d}-of-{n_shards:04d}"
+            import microfts_ray.state.manifest as _mf
+
+            if _mf.read_part_checkpoint(index_dir, pid) is not None:
+                out.append(-1)
+                continue
+            tables = []
+            for path in terms_paths:
+                f = _pq.ParquetFile(path)
+                rgs = [
+                    i
+                    for i in range(f.metadata.num_row_groups)
+                    if (st := f.metadata.row_group(i).column(0).statistics) is None
+                    or (st.min < hi and st.max >= lo)
+                ]
+                if not rgs:
+                    continue
+                tbl = f.read_row_groups(rgs)
+                terms = tbl["term"].to_numpy()
+                keep = (terms >= lo) & (terms < hi)
+                if keep.any():
+                    tables.append(tbl.filter(keep))
+            tbl = (
+                _pa.concat_tables(tables)
+                if tables
+                else None
+            )
+            from microfts_ray.pipelines.build import TERMS_SCHEMA as _TS
+
+            e = wst(
+                index_dir, shard, n_shards, lo, hi,
+                tbl if tbl is not None else _TS.empty_table(),
+                deleted_docs=dead, mode=mode,
             )
             out.append(e["stats"]["n_postings"])
-        import numpy as _np
+        return {"shard": batch["shard"], "n_postings": np.array(out, dtype=np.int64)}
 
-        return {"shard": batch["shard"], "n_postings": _np.array(out, dtype=_np.int64)}
-
+    ds = ray.data.from_items(
+        [{"shard": s, "lo": bounds[s], "hi": bounds[s + 1]} for s in range(n_shards)],
+        override_num_blocks=n_shards,
+    )
     kwargs = {"concurrency": concurrency} if concurrency else {}
     ds.map_batches(run_shard, batch_size=1, num_cpus=1, **kwargs).materialize()
     shards = []
     for s in range(n_shards):
         e = mf.read_part_checkpoint(index_dir, f"merged-{s:04d}-of-{n_shards:04d}")
-        if e is None:
-            raise RuntimeError(f"merged shard {s} missing checkpoint")
+        if e is None:  # term range produced no rows -> empty shard
+            e = write_shard_table(
+                index_dir, s, n_shards, bounds[s], bounds[s + 1],
+                TERMS_SCHEMA.empty_table(), deleted_docs=dead, mode=mode,
+            )
         shards.append(e)
     manifest["merged"] = {
         "n_shards": n_shards,

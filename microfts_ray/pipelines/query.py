@@ -74,18 +74,25 @@ class _Segment:
         self._row_cache: dict[int, dict] = {}
         self._docs_tbl: pa.Table | None = None
 
-    def term_row(self, term: int) -> dict | None:
+    def term_rows(self, term: int) -> list[dict]:
+        """All posting-run rows for a term (merged shards hold one;
+        salted shuffle segments may hold several)."""
         if term in self._row_cache:
             return self._row_cache[term]
-        i = int(np.searchsorted(self.terms, term))
-        if i >= self.terms.size or self.terms[i] != term:
-            return None
-        rg = int(np.searchsorted(self._rg_offsets, i, side="right") - 1)
-        tbl = self._pf.read_row_group(rg)
-        row_in_rg = i - int(self._rg_offsets[rg])
-        row = {k: tbl[k][row_in_rg].as_py() for k in tbl.column_names}
-        self._row_cache[term] = row
-        return row
+        lo = int(np.searchsorted(self.terms, term, side="left"))
+        hi = int(np.searchsorted(self.terms, term, side="right"))
+        rows = []
+        for i in range(lo, hi):
+            rg = int(np.searchsorted(self._rg_offsets, i, side="right") - 1)
+            tbl = self._pf.read_row_group(rg)
+            row_in_rg = i - int(self._rg_offsets[rg])
+            rows.append({k: tbl[k][row_in_rg].as_py() for k in tbl.column_names})
+        self._row_cache[term] = rows
+        return rows
+
+    def term_row(self, term: int) -> dict | None:
+        rows = self.term_rows(term)
+        return rows[0] if rows else None
 
     def docs(self) -> pa.Table:
         if self._docs_tbl is None:
@@ -147,8 +154,7 @@ class IndexReader:
     def term_runs(self, term: int) -> list[PostingRun]:
         runs = []
         for seg in self._term_sources(term):
-            row = seg.term_row(term)
-            if row is not None:
+            for row in seg.term_rows(term):
                 runs.append(decode_run(row))
         return runs
 
@@ -166,19 +172,19 @@ class IndexReader:
 
     def chunk_df(self, term: int) -> int:
         """Chunks containing term (the chunk-level df) = sum of run ns."""
-        return sum(
-            int(seg.ns[i])
-            for seg in self._term_sources(term)
-            if (i := _find(seg.terms, term)) is not None
-        )
+        total = 0
+        for seg in self._term_sources(term):
+            lo, hi = _span(seg.terms, term)
+            total += int(seg.ns[lo:hi].sum())
+        return total
 
     def doc_df(self, term: int) -> int:
         """Docs containing term; runs are doc-disjoint so dfs sum."""
-        return sum(
-            int(seg.dfs[i])
-            for seg in self._term_sources(term)
-            if (i := _find(seg.terms, term)) is not None
-        )
+        total = 0
+        for seg in self._term_sources(term):
+            lo, hi = _span(seg.terms, term)
+            total += int(seg.dfs[lo:hi].sum())
+        return total
 
     def prewarm(self, min_entries: int = 10_000) -> int:
         """Decode the heaviest terms into the run cache (plus dense
@@ -191,19 +197,27 @@ class IndexReader:
             for t, n in zip(seg.terms.tolist(), seg.ns.tolist()):
                 totals[t] = totals.get(t, 0) + int(n)
         budget = self._run_cache_cap - self._run_cache_entries
-        warmed = 0
         use_dense = self._dense_space() is not None
+        todo = []
         for t, n in sorted(totals.items(), key=lambda kv: -kv[1]):
             if n < min_entries or budget <= 0:
                 break
-            run = self.term_postings(int(t))
-            if len(run):
-                if use_dense:
-                    self._dense_key(int(t), run)
-                    self._term_contrib(int(t), run)
-                budget -= n
-                warmed += 1
-        return warmed
+            todo.append(int(t))
+            budget -= n
+
+        def warm_one(t: int) -> None:
+            run = self.term_postings(t)
+            if len(run) and use_dense:
+                self._dense_key(t, run)
+                self._term_contrib(t, run)
+
+        # numpy decode kernels release the GIL, so a thread pool gets
+        # real parallelism without shipping runs between processes
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(warm_one, todo))
+        return len(todo)
 
     # -- candidate kernel (X1) ---------------------------------------------
     def candidates(self, grams: set[int]) -> PostingRun | None:
@@ -241,11 +255,16 @@ class IndexReader:
         return ~np.isin(doc, self._tombstones)
 
     # -- doc metadata / chunk text (J1/J2/J3) ------------------------------
+    def _docs_tables(self):
+        import os
+
+        for rel, si in mf.docs_sources(self.manifest):
+            yield si, pq.read_table(os.path.join(self.index_dir, rel))
+
     def _load_doc_meta(self) -> dict[int, tuple]:
         if self._doc_meta is None:
             meta = {}
-            for si, seg in enumerate(self.segments):
-                d = seg.docs()
+            for si, d in self._docs_tables():
                 for doc_id, repo, path, commit, src_rg in zip(
                     d["doc_id"].to_numpy(),
                     d["repo"].to_pylist(),
@@ -271,6 +290,9 @@ class IndexReader:
             if d in self._content_cache:
                 continue
             si, _, _, _, src_rg = meta[d]
+            if src_rg < 0:  # custom-gram chunk: no recoverable text
+                self._content_cache[d] = ""
+                continue
             lineage = self.segments[si].entry["lineage"]
             need.setdefault((lineage["input_path"], src_rg), []).append(d)
         from ..stages.tokenize import doc_ids_column
@@ -462,26 +484,30 @@ class IndexReader:
         _dense_space returns None and MaxScore pruning takes over.
         """
         if self._dense is None:
-            meta = self._load_doc_meta()
-            doc_ids = np.fromiter(meta.keys(), dtype=np.uint64, count=len(meta))
-            doc_ids.sort()
-            stride = 1
-            for seg in self.segments:
-                col = seg.docs()["n_chunks"].to_numpy()
-                if col.size:
-                    stride = max(stride, int(col.max()))
-            self._dense = (doc_ids, stride)
-        doc_ids, stride = self._dense
-        if doc_ids.size * stride > cap:
+            ids, chunks = [], []
+            for _si, d in self._docs_tables():
+                ids.append(d["doc_id"].to_numpy())
+                chunks.append(d["n_chunks"].to_numpy())
+            doc_ids = np.concatenate(ids)
+            n_chunks = np.concatenate(chunks)
+            order = np.argsort(doc_ids)
+            doc_ids = doc_ids[order]
+            # global chunk offsets: key space = total chunks, not
+            # docs x max-lines (3x smaller accumulators)
+            base = np.zeros(doc_ids.size + 1, dtype=np.int64)
+            np.cumsum(n_chunks[order], out=base[1:])
+            self._dense = (doc_ids, base)
+        doc_ids, base = self._dense
+        if base[-1] > cap:
             return None
         return self._dense
 
     def _dense_key(self, g: int, run: PostingRun) -> np.ndarray:
         key = self._dense_keys.get(g)
         if key is None:
-            doc_ids, stride = self._dense
+            doc_ids, base = self._dense
             idx = np.searchsorted(doc_ids, run.doc_ids)
-            key = idx * np.int64(stride) + run.chunk_ids.astype(np.int64)
+            key = base[idx] + run.chunk_ids.astype(np.int64)
             if g in self._run_cache:
                 self._dense_keys[g] = key
         return key
@@ -492,8 +518,8 @@ class IndexReader:
         adds sequentially in input order, so per-pair accumulation
         order (and therefore every float) is identical to the
         oracle's scalar loop."""
-        doc_ids, stride = self._dense
-        K = int(doc_ids.size) * stride
+        doc_ids, base = self._dense
+        K = int(base[-1])
         keys, weights = [], []
         for g in grams:  # ascending
             run = self.term_postings(g)
@@ -503,13 +529,13 @@ class IndexReader:
             weights.append(self._term_contrib(g, run))
         if not keys:
             z = np.empty(0, dtype=np.int64)
-            return z, np.empty(0, dtype=np.float64), doc_ids, stride
+            return z, np.empty(0, dtype=np.float64), doc_ids, base
         acc = np.bincount(
             np.concatenate(keys), weights=np.concatenate(weights), minlength=K
         )
         hit = np.nonzero(acc)[0]
         score = acc[hit]
-        return hit, score, doc_ids, stride
+        return hit, score, doc_ids, base
 
     def _term_contrib(self, g: int, run: PostingRun) -> np.ndarray:
         contrib = self._contrib_cache.get(g)
@@ -522,16 +548,20 @@ class IndexReader:
     def _dense_topk(self, grams: list[int], k: int):
         """Dense scoring + tie-complete top-k preselection (avoids a
         full sort of the union: only score >= kth-largest survive)."""
-        hit, score, doc_ids, stride = self._bm25_dense(grams)
+        hit, score, doc_ids, base = self._bm25_dense(grams)
+
+        def doc_chunk(keys: np.ndarray):
+            idx = np.searchsorted(base, keys, side="right") - 1
+            return doc_ids[idx], (keys - base[idx]).astype(np.uint64)
+
         if self._tombstones.size:
-            live = self._live_mask(doc_ids[hit // stride])
+            live = self._live_mask(doc_chunk(hit)[0])
             hit, score = hit[live], score[live]
         if score.size > k:
             kth = -np.partition(-score, k - 1)[k - 1]
             keep = score >= kth  # keep ALL ties at the boundary
             hit, score = hit[keep], score[keep]
-        d = doc_ids[hit // stride]
-        c = (hit % stride).astype(np.uint64)
+        d, c = doc_chunk(hit)
         return d, c, score
 
     def _bm25_union(self, grams: list[int]):
@@ -658,16 +688,15 @@ class IndexReader:
     def _doc_dl(self) -> dict[int, int]:
         if not hasattr(self, "_doc_dl_cache"):
             cache = {}
-            for seg in self.segments:
-                d = seg.docs()
+            for _si, d in self._docs_tables():
                 for did, sdl in zip(d["doc_id"].to_numpy(), d["sum_dl"].to_numpy()):
                     cache[int(did)] = int(sdl)
             self._doc_dl_cache = cache
         return self._doc_dl_cache
 
 
-def _find(sorted_terms: np.ndarray, term: int) -> int | None:
-    i = int(np.searchsorted(sorted_terms, term))
-    if i < sorted_terms.size and sorted_terms[i] == term:
-        return i
-    return None
+def _span(sorted_terms: np.ndarray, term: int) -> tuple[int, int]:
+    return (
+        int(np.searchsorted(sorted_terms, term, side="left")),
+        int(np.searchsorted(sorted_terms, term, side="right")),
+    )

@@ -42,9 +42,9 @@ from .build import build_partition, plan_partitions
 def _index_doc_shas(index_dir: str, manifest: dict) -> dict[int, str]:
     """doc_id -> content sha from all live docs sidecars."""
     out: dict[int, str] = {}
-    for p in manifest["partitions"]:
+    for rel, _si in mf.docs_sources(manifest):
         t = pq.read_table(
-            os.path.join(index_dir, p["segment"]["docs"]),
+            os.path.join(index_dir, rel),
             columns=["doc_id", "content_sha256"],
         )
         for d, s in zip(t["doc_id"].to_numpy(), t["content_sha256"].to_pylist()):
@@ -76,12 +76,39 @@ def snapshot_diff(index_dir: str, corpus_paths: list[str]) -> dict:
 def apply_update(
     index_dir: str, corpus_paths: list[str], *, dry_run: bool = False,
     chunker: str | None = None, target_rows_per_part: int = 4000,
+    delete_missing: bool = True,
 ) -> dict:
     """Snapshot-diff update: build delta partitions for new/changed
     rows, tombstone deleted doc keys; returns the updated manifest
-    (or the plan if dry_run)."""
+    (or the plan if dry_run).
+
+    delete_missing=False gives `input` semantics (cmdInput,
+    fts-lmdb.go:509-523): add/reindex the given rows only, never
+    tombstone absent keys. True is `update` semantics (cmdUpdate).
+    Superseded versions of CHANGED rows are tombstoned either way
+    (openInputFile tombstones the old group, fts-lmdb.go:539).
+    """
     manifest = mf.load_manifest(index_dir)
     diff = snapshot_diff(index_dir, corpus_paths)
+    if not delete_missing:
+        # keep only old versions of re-supplied (repo, path) keys
+        changed_keys = set()
+        for path, i in diff["new_or_changed"]:
+            t = pq.read_table(path, columns=["repo", "path"])
+            changed_keys.add((t["repo"][i].as_py(), t["path"][i].as_py()))
+        indexed_keys: dict[int, tuple[str, str]] = {}
+        for rel, _si in mf.docs_sources(manifest):
+            t = pq.read_table(
+                os.path.join(index_dir, rel),
+                columns=["doc_id", "repo", "path"],
+            )
+            for d, r_, pth in zip(
+                t["doc_id"].to_numpy(), t["repo"].to_pylist(), t["path"].to_pylist()
+            ):
+                indexed_keys[int(d)] = (r_, pth)
+        diff["deleted"] = [
+            d for d in diff["deleted"] if indexed_keys.get(d) in changed_keys
+        ]
     if dry_run:
         return {
             "dry_run": True,
@@ -149,9 +176,9 @@ def compact(index_dir: str, n_shards: int = 8, concurrency: int | None = None) -
     clear tombstones. Result is query-identical to a fresh build."""
     manifest = mf.load_manifest(index_dir)
     tombs = np.array(sorted(manifest.get("tombstones", [])), dtype=np.uint64)
-    live_parts = []
-    for p in manifest["partitions"]:
-        docs_path = os.path.join(index_dir, p["segment"]["docs"])
+
+    def rewrite_docs(rel: str) -> pa.Table:
+        docs_path = os.path.join(index_dir, rel)
         t = pq.read_table(docs_path)
         if tombs.size:
             keep = ~np.isin(t["doc_id"].to_numpy(), tombs)
@@ -160,18 +187,31 @@ def compact(index_dir: str, n_shards: int = 8, concurrency: int | None = None) -
                 tmp = docs_path + f".{uuid.uuid4().hex[:8]}.tmp"
                 pq.write_table(t, tmp, row_group_size=512, compression="zstd")
                 os.replace(tmp, docs_path)
+        return t
+
+    agg = {"n_docs": 0, "n_chunks": 0, "sum_dl": 0}
+    live_parts = []
+    for p in manifest["partitions"]:
+        docs_rel = p["segment"].get("docs")
+        if docs_rel is None:  # shuffle-mode terms-only partition
+            live_parts.append(p)
+            continue
+        t = rewrite_docs(docs_rel)
         if t.num_rows == 0:
             continue
         stats = dict(p["stats"])
         stats["n_docs"] = int(t.num_rows)
         stats["n_chunks"] = int(pa.compute.sum(t["n_chunks"]).as_py() or 0)
         stats["sum_dl"] = int(pa.compute.sum(t["sum_dl"]).as_py() or 0)
+        for k in agg:
+            agg[k] += stats[k]
         live_parts.append({**p, "stats": stats})
+    for rel in manifest.get("docs_files", []):
+        t = rewrite_docs(rel)
+        agg["n_docs"] += int(t.num_rows)
+        agg["n_chunks"] += int(pa.compute.sum(t["n_chunks"]).as_py() or 0)
+        agg["sum_dl"] += int(pa.compute.sum(t["sum_dl"]).as_py() or 0)
     manifest["partitions"] = live_parts
-    agg = {
-        k: int(sum(p["stats"][k] for p in live_parts))
-        for k in ("n_docs", "n_chunks", "sum_dl")
-    }
     manifest["global"].update(
         **agg, avgdl=(agg["sum_dl"] / agg["n_chunks"]) if agg["n_chunks"] else 0.0
     )
@@ -184,7 +224,7 @@ def compact(index_dir: str, n_shards: int = 8, concurrency: int | None = None) -
     # clear stale merged checkpoints so shards rebuild
     man_dir = os.path.join(index_dir, mf.PART_DIR)
     for f in os.listdir(man_dir):
-        if f.startswith("part-merged-"):
+        if f.startswith(("part-merged-", "part-mergelvl1-")):
             os.unlink(os.path.join(man_dir, f))
     import shutil
 

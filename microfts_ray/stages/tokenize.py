@@ -114,7 +114,25 @@ def tokenize_corpus_batch(
     entry_doc = chunk_doc[chunk_idx]
     entry_chunk = chunk_ord[chunk_idx]
     entry_dl = chunk_dl[chunk_idx].astype(np.uint64)
-    order = np.lexsort((entry_chunk, entry_doc, term))
+    # sort by (term, doc_id, chunk_id): pack into one uint64 key when
+    # ranks fit (term 16 bits + doc rank + chunk bits) — a single-key
+    # argsort moves ~1/3 the bytes of a 3-array lexsort
+    order = None
+    if len(doc_ids):
+        sorted_docs = np.sort(doc_ids)
+        rank_bits = max(1, int(np.ceil(np.log2(max(2, sorted_docs.size)))))
+        max_chunk = int(chunk_ord.max()) if chunk_ord.size else 0
+        chunk_bits = max(1, (max_chunk + 1).bit_length())
+        if 16 + rank_bits + chunk_bits <= 64:
+            doc_rank = np.searchsorted(sorted_docs, entry_doc).astype(np.uint64)
+            packed = (
+                (term.astype(np.uint64) << np.uint64(rank_bits + chunk_bits))
+                | (doc_rank << np.uint64(chunk_bits))
+                | entry_chunk.astype(np.uint64)
+            )
+            order = np.argsort(packed, kind="stable")
+    if order is None:
+        order = np.lexsort((entry_chunk, entry_doc, term))
     entries = {
         "term": term[order],
         "doc_id": entry_doc[order],

@@ -66,3 +66,18 @@ def load_manifest(index_dir: str) -> dict:
 
 def manifest_exists(index_dir: str) -> bool:
     return os.path.exists(os.path.join(index_dir, GENERATION_FILE))
+
+
+def docs_sources(manifest: dict) -> list[tuple[str, int]]:
+    """Unique (docs relpath, partition index) pairs across the build
+    partitions plus any manifest-level docs files (shuffle mode,
+    which has no per-partition docs pairing; those get index -1)."""
+    seen: dict[str, int] = {}
+    for i, p in enumerate(manifest.get("partitions", [])):
+        rel = p.get("segment", {}).get("docs")
+        if rel and rel not in seen:
+            seen[rel] = i
+    for rel in manifest.get("docs_files", []):
+        if rel not in seen:
+            seen[rel] = -1
+    return list(seen.items())
