@@ -158,6 +158,18 @@ def q_events_by_type(sf_dir: str) -> Any:
     return events_by_type(_table(sf_dir, "events", ["event_type", "value"]))
 
 
+def q_events_hourly(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.relational import events_hourly
+
+    return events_hourly(_table(sf_dir, "events", ["event_type", "ts"]))
+
+
+def q_events_prev_id(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.relational import events_prev_id
+
+    return events_prev_id(_table(sf_dir, "events", ["user_id", "event_id", "ts"]))
+
+
 def q_ann_topk(sf_dir: str) -> pa.Table:
     from microfts_ray.pipelines.ann import cosine_topk
 
@@ -285,6 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q_top_customers,
         "orders_per_nation": q_orders_per_nation,
         "events_by_type": q_events_by_type,
+        "events_hourly": q_events_hourly,
+        "events_prev_id": q_events_prev_id,
         "ann_topk": q_ann_topk,
         # rows-only (non-SQL-expressible engine ops)
         "bm25_topk": q_bm25_topk,
@@ -355,6 +369,15 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": (
             "SELECT event_type, count(*) AS n, min(value) AS min_value, "
             "max(value) AS max_value FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "events_hourly": (
+            "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "events_prev_id": (
+            "SELECT user_id, event_id, lag(event_id) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id "
+            "FROM events ORDER BY user_id, event_id"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

@@ -40,10 +40,65 @@ def _escape(s: str) -> str:
     return q[1:-1]
 
 
-def _print_hits(hits: list[dict], args) -> bool:
+import re as _re
+
+_GO_VERB = _re.compile(r"%([#0\- +]*)(\d+)?(?:\.(\d+))?(?:\[(\d+)\])?([sdf%])")
+
+
+def go_printf(fmt: str, args: tuple) -> str:
+    """Subset of Go's fmt.Printf used by the reference format strings
+    (fulltext.go:327-346): verbs s/d/f with optional width.precision
+    and explicit argument indexes `%[N]v`; after an explicit index,
+    implicit verbs continue from N+1 (Go semantics)."""
+    out = []
+    pos = 0
+    next_arg = 1  # Go arg indexes are 1-based
+
+    def sub(m: _re.Match) -> str:
+        nonlocal next_arg
+        flags, width, prec, idx, verb = m.groups()
+        if verb == "%":
+            return "%"
+        if idx:
+            next_arg = int(idx)
+        val = args[next_arg - 1]
+        next_arg += 1
+        spec = "%" + (flags or "") + (width or "")
+        if prec is not None:
+            spec += "." + prec
+        spec += {"s": "s", "d": "d", "f": "f"}[verb]
+        if verb == "d":
+            val = int(val)
+        elif verb == "f":
+            val = float(val)
+        else:
+            val = str(val)
+        return spec % val
+
+    # unescape Go-style \n \t in CLI-provided strings
+    fmt = fmt.replace("\\n", "\n").replace("\\t", "\t")
+    return _GO_VERB.sub(sub, fmt)
+
+
+def _print_hits(hits: list[dict], args, reader=None) -> bool:
+    fmt = getattr(args, "format", None)
     for h in hits:
         fname = h["group"]
-        if args.sexp:
+        if fmt:
+            start = (
+                reader.chunk_start(h["doc_id"], h["chunk_id"]) if reader else 0
+            )
+            # printf args per fts-lmdb.go:1386:
+            # (start, line, offset, percent, escaped text, file)
+            print(
+                go_printf(
+                    fmt,
+                    (start, h["line"], h.get("offset", 0),
+                     h.get("percent", 0.0), _escape(h["text"]), fname),
+                ),
+                end="",
+            )
+        elif args.sexp:
             pct = h.get("percent", 0.0)
             print(
                 f'(:filename "{_escape(fname)}" :line {h["line"]} '
@@ -90,6 +145,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("-n", action="store_true", help="print only FILE:LINE")
     sp.add_argument("-sexp", action="store_true")
     sp.add_argument("-candidates", action="store_true", help="raw candidates, no verify")
+    sp.add_argument("-format", default=None,
+                    help="Go printf format; args: POSITION LINE OFFSET PERCENT TEXT FILE")
+    sp.add_argument("-u", action="store_true",
+                    help="update the index from its recorded inputs before searching")
 
     sp = sub.add_parser("bm25", help="BM25 top-k ranked search")
     sp.add_argument("db")
@@ -239,6 +298,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipelines.query import IndexReader
 
+    if args.cmd == "search" and args.u:
+        # reference `search -u` (fts-lmdb.go:1050-1055): update first
+        from .pipelines.update import apply_update
+        from .state import manifest as mfmod
+
+        inputs = mfmod.load_manifest(args.db).get("inputs", [])
+        if inputs:
+            apply_update(args.db, inputs)
     reader = IndexReader(args.db)
     if args.cmd == "bm25":
         hits = (
@@ -270,14 +337,14 @@ def main(argv: list[str] | None = None) -> int:
         hits = reader.fuzzy(
             *args.terms, threshold=args.fuzzy / 100.0, sort_all=args.sort
         )
-        return 0 if _print_hits(hits, args) else 1
+        return 0 if _print_hits(hits, args, reader) else 1
     hits = reader.search(
         *args.terms,
         partial=args.partial,
         regexp_filter=args.filter,
         limit_per_group=args.limit,
     )
-    return 0 if _print_hits(hits, args) else 1
+    return 0 if _print_hits(hits, args, reader) else 1
 
 
 if __name__ == "__main__":

@@ -312,6 +312,14 @@ class IndexReader:
             out.append(lines[int(c)] if int(c) < len(lines) else "")
         return out
 
+    def chunk_start(self, doc_id: int, chunk_id: int) -> int:
+        """1-based character position of a chunk in its doc (the
+        reference's POSITION printf arg, fts-lmdb.go:1386). Call after
+        chunk_texts so the content is cached."""
+        content = self._content_cache.get(int(doc_id), "")
+        lines = split_lines(content)
+        return sum(len(l) + 1 for l in lines[: int(chunk_id)]) + 1
+
     # -- search modes ------------------------------------------------------
     def search(
         self,

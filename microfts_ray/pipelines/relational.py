@@ -109,6 +109,60 @@ def events_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def events_hourly(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Tumbling-window aggregate: events per (event_type, hour).
+    The window key is computed vectorized in map_batches; the groupby
+    then behaves like any keyed aggregate (streaming semantics are
+    batch-windowed here — the testdata stream is bounded)."""
+
+    def window(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.table({"event_type": b["event_type"], "hour": hour})
+
+    agg = (
+        events.map_batches(window, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count())
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_type": b["event_type"], "hour": b["hour"],
+             "n": b["count()"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def events_prev_id(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user as-of/LAG: each event paired with the previous event
+    id of the same user (order by ts, event_id). Expressed as
+    groupby(user).map_groups with an in-group sort — the windowed /
+    as-of join building block."""
+
+    def lag(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = group["ts"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        order = np.lexsort((eid, ts))
+        eid_s = eid[order]
+        prev = np.empty(eid_s.size, dtype=np.float64)
+        prev[0] = np.nan
+        prev[1:] = eid_s[:-1]
+        return pa.table(
+            {
+                "user_id": group["user_id"].take(pa.array(order)),
+                "event_id": pa.array(eid_s, pa.int64()),
+                "prev_event_id": pa.array(prev, pa.float64()),
+            }
+        )
+
+    return events.groupby("user_id").map_groups(lag, batch_format="pyarrow")
+
+
 def lang_count(documents: ray.data.Dataset) -> ray.data.Dataset:
     agg = documents.groupby("lang").aggregate(Count())
 
