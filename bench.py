@@ -199,8 +199,8 @@ def run_scaling() -> dict:
     """Same build at N and 4N cpus in fresh processes (north_rule
     scaling criterion, sandbox form)."""
     _ensure_corpus()  # generate once outside both timed runs
-    lo = int(os.environ.get("SCALING_LO", "8"))
-    hi = int(os.environ.get("SCALING_HI", "32"))
+    lo = int(os.environ.get("SCALING_LO", "2"))
+    hi = int(os.environ.get("SCALING_HI", "8"))
     results = {}
     for n in (lo, hi):
         env = dict(

@@ -19,7 +19,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .varint import decode_array, encode_array
+from .varint import decode_array_split, encode_array_split
 
 BLOCK = 128  # entries per skip/max block
 
@@ -70,25 +70,25 @@ def encode_run(
     return {
         "n": int(n),
         "df": df,
-        "doc_blob": encode_array(gaps),
-        "chunk_blob": encode_array(chunk_ids.astype(np.uint64, copy=False)),
-        "tf_blob": encode_array(tf64),
-        "dl_blob": encode_array(dl64),
-        "bmax_tf_blob": encode_array(bmax_tf),
-        "bmin_dl_blob": encode_array(bmin_dl),
-        "bfirst_doc_blob": encode_array(bfirst_doc),
+        "doc_blob": encode_array_split(gaps),
+        "chunk_blob": encode_array_split(chunk_ids.astype(np.uint64, copy=False)),
+        "tf_blob": encode_array_split(tf64),
+        "dl_blob": encode_array_split(dl64),
+        "bmax_tf_blob": encode_array_split(bmax_tf),
+        "bmin_dl_blob": encode_array_split(bmin_dl),
+        "bfirst_doc_blob": encode_array_split(bfirst_doc),
     }
 
 
 def decode_run(row: dict) -> PostingRun:
     """Inverse of encode_run (block maxima are not needed to decode)."""
     n = int(row["n"])
-    gaps = decode_array(row["doc_blob"], n)
+    gaps = decode_array_split(row["doc_blob"], n)
     return PostingRun(
         doc_ids=np.cumsum(gaps, dtype=np.uint64),
-        chunk_ids=decode_array(row["chunk_blob"], n),
-        tfs=decode_array(row["tf_blob"], n),
-        dls=decode_array(row["dl_blob"], n),
+        chunk_ids=decode_array_split(row["chunk_blob"], n),
+        tfs=decode_array_split(row["tf_blob"], n),
+        dls=decode_array_split(row["dl_blob"], n),
     )
 
 
@@ -98,9 +98,9 @@ def decode_block_meta(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     n = int(row["n"])
     nblk = (n + BLOCK - 1) // BLOCK
     return (
-        decode_array(row["bmax_tf_blob"], nblk),
-        decode_array(row["bmin_dl_blob"], nblk),
-        decode_array(row["bfirst_doc_blob"], nblk),
+        decode_array_split(row["bmax_tf_blob"], nblk),
+        decode_array_split(row["bmin_dl_blob"], nblk),
+        decode_array_split(row["bfirst_doc_blob"], nblk),
     )
 
 
@@ -121,15 +121,18 @@ def decode_terms_table(tbl) -> dict:
     """
     import pyarrow as pa  # local: keep module import-light for pickling
 
+    from .varint import decode_split_rows
+
     ns = tbl["n"].to_numpy().astype(np.int64)
     total = int(ns.sum())
     row_starts = np.zeros(ns.size + 1, dtype=np.int64)
     np.cumsum(ns, out=row_starts[1:])
 
-    def col_blob(name: str) -> bytes:
+    def col_values(name: str) -> np.ndarray:
         col = tbl[name]
         chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
         parts = []
+        pos = 0
         for arr in chunks:
             if len(arr) == 0:
                 continue
@@ -137,21 +140,29 @@ def decode_terms_table(tbl) -> dict:
                 arr.offset : arr.offset + len(arr) + 1
             ]
             data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-            parts.append(data[offs[0] : offs[-1]])
-        return b"".join(p.tobytes() for p in parts) if len(parts) != 1 else parts[0]
+            chunk_ns = ns[pos : pos + len(arr)]
+            parts.append(
+                decode_split_rows(data, (offs[:-1]).astype(np.int64), chunk_ns)
+            )
+            pos += len(arr)
+        if not parts:
+            return np.empty(0, dtype=np.uint64)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
-    gaps = decode_array(col_blob("doc_blob"), total)
+    gaps = col_values("doc_blob")
     cs = np.cumsum(gaps, dtype=np.uint64)
     # segmented reset: doc[i] = cs[i] - cs[start] + gaps[start]
-    base = cs[row_starts[:-1]] - gaps[row_starts[:-1]]
+    nz = ns > 0
+    base = np.zeros(ns.size, dtype=np.uint64)
+    base[nz] = cs[row_starts[:-1][nz]] - gaps[row_starts[:-1][nz]]
     doc = cs - np.repeat(base, ns)
     terms = np.repeat(tbl["term"].to_numpy().astype(np.uint16), ns)
     return {
         "term": terms,
         "doc_id": doc,
-        "chunk_id": decode_array(col_blob("chunk_blob"), total),
-        "tf": decode_array(col_blob("tf_blob"), total),
-        "dl": decode_array(col_blob("dl_blob"), total),
+        "chunk_id": col_values("chunk_blob"),
+        "tf": col_values("tf_blob"),
+        "dl": col_values("dl_blob"),
         "row_starts": row_starts,
     }
 

@@ -130,6 +130,153 @@ def encode_array(vals: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def encode_array_split(vals: np.ndarray) -> bytes:
+    """Split-stream varint blob: the `n` FIRST bytes of every value
+    up front, then all payload bytes in value order.
+
+    Same bytes per value as put_num (width nibble + high bits in the
+    first byte, big-endian payload), reordered so decoding needs no
+    sequential boundary chain: widths come from the contiguous first
+    bytes, payload offsets from one cumsum — O(n x max_width) with
+    n-sized arrays, vs O(blob_bytes x log n) for the in-place layout.
+    """
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    w = sizes_array(v)
+    pw = w - 1  # payload byte count per value
+    firsts = np.empty(n, dtype=np.uint8)
+    one = w == 1
+    firsts[one] = v[one].astype(np.uint8)
+    big = ~one
+    if big.any():
+        bw = w[big]
+        shift = np.minimum((bw - 1) * 8, 63).astype(np.uint64)
+        hi = np.where(bw == 9, np.uint64(0), v[big] >> shift)
+        firsts[big] = (
+            np.uint8(0x80)
+            | ((bw - 2).astype(np.uint8) << 4)
+            | (hi & np.uint64(0xF)).astype(np.uint8)
+        )
+    pay_end = np.cumsum(pw)
+    payload = np.zeros(int(pay_end[-1]), dtype=np.uint8)
+    pay_start = pay_end - pw
+    maxpw = int(pw.max()) if n else 0
+    for j in range(maxpw):
+        sel = pw > j
+        # payload byte j holds bits shifted by 8*(pw-1-j)
+        shift = ((pw[sel] - 1 - j) * 8).astype(np.uint64)
+        payload[pay_start[sel] + j] = ((v[sel] >> shift) & np.uint64(0xFF)).astype(
+            np.uint8
+        )
+    return firsts.tobytes() + payload.tobytes()
+
+
+def decode_array_split(blob: bytes | memoryview | np.ndarray, count: int) -> np.ndarray:
+    """Inverse of encode_array_split."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    firsts = raw[:count]
+    widths = np.where(firsts & 0x80 == 0, 1, ((firsts >> 4) & 0x7).astype(np.int64) + 2)
+    pw = widths - 1
+    pay = raw[count:]
+    pay_end = np.cumsum(pw)
+    pay_start = pay_end - pw
+    vals = np.where(widths == 1, firsts, firsts & 0xF).astype(np.uint64)
+    maxpw = int(pw.max()) if count else 0
+    for j in range(maxpw):
+        sel = pw > j
+        vals[sel] = (vals[sel] << np.uint64(8)) | pay[pay_start[sel] + j]
+    return vals
+
+
+def decode_split_rows(
+    raw: np.ndarray, row_offsets: np.ndarray, ns: np.ndarray
+) -> np.ndarray:
+    """Bulk-decode MANY split-stream blobs living in one byte buffer.
+
+    raw: uint8 buffer; row_offsets[i] = byte offset of row i's blob;
+    ns[i] = value count of row i. Returns all values concatenated in
+    row order. Fully vectorized (the merge/compaction fast path).
+    """
+    total = int(ns.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64)
+    rows = ns.size
+    row_of = np.repeat(np.arange(rows, dtype=np.int64), ns)
+    cum = np.zeros(rows + 1, dtype=np.int64)
+    np.cumsum(ns, out=cum[1:])
+    idx_in_row = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], ns)
+    first_pos = row_offsets[row_of] + idx_in_row
+    firsts = raw[first_pos]
+    widths = np.where(firsts & 0x80 == 0, 1, ((firsts >> 4) & 0x7).astype(np.int64) + 2)
+    pw = widths - 1
+    # payload offset within each row: segmented exclusive cumsum of pw
+    gcum = np.cumsum(pw)
+    gbase = gcum - pw
+    row_first_val = cum[:-1]
+    base_at_row_start = gbase[np.minimum(row_first_val, total - 1)]
+    pay_in_row = gbase - np.repeat(base_at_row_start, ns)
+    pay_pos = row_offsets[row_of] + ns[row_of] + pay_in_row
+    vals = np.where(widths == 1, firsts, firsts & 0xF).astype(np.uint64)
+    maxpw = int(pw.max())
+    for j in range(maxpw):
+        sel = pw > j
+        vals[sel] = (vals[sel] << np.uint64(8)) | raw[pay_pos[sel] + j]
+    return vals
+
+
+def encode_split_rows(
+    vals: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Encode many value ranges as consecutive split-stream blobs in
+    one buffer. starts/ends must tile vals contiguously, each row
+    non-empty. Returns (buffer, byte offsets per row, len rows+1) —
+    ready for a zero-copy Arrow binary column.
+    """
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    rows = starts.size
+    ns = (ends - starts).astype(np.int64)
+    w = sizes_array(v)
+    pw = w - 1
+    if v.size == 0:
+        return b"", np.zeros(rows + 1, dtype=np.int64)
+    pay_per_row = np.add.reduceat(pw, starts)
+    row_bytes = ns + pay_per_row
+    row_off = np.zeros(rows + 1, dtype=np.int64)
+    np.cumsum(row_bytes, out=row_off[1:])
+    out = np.zeros(int(row_off[-1]), dtype=np.uint8)
+    row_of = np.repeat(np.arange(rows, dtype=np.int64), ns)
+    idx_in_row = np.arange(v.size, dtype=np.int64) - np.repeat(starts, ns)
+    first_pos = row_off[row_of] + idx_in_row
+    firsts = np.empty(v.size, dtype=np.uint8)
+    one = w == 1
+    firsts[one] = v[one].astype(np.uint8)
+    big = ~one
+    if big.any():
+        bw = w[big]
+        shift = np.minimum((bw - 1) * 8, 63).astype(np.uint64)
+        hi = np.where(bw == 9, np.uint64(0), v[big] >> shift)
+        firsts[big] = (
+            np.uint8(0x80)
+            | ((bw - 2).astype(np.uint8) << 4)
+            | (hi & np.uint64(0xF)).astype(np.uint8)
+        )
+    out[first_pos] = firsts
+    gcum = np.cumsum(pw)
+    gbase = gcum - pw
+    pay_in_row = gbase - np.repeat(gbase[starts], ns)
+    pay_base = row_off[row_of] + ns[row_of] + pay_in_row
+    maxpw = int(pw.max())
+    for j in range(maxpw):
+        sel = pw > j
+        shift = ((pw[sel] - 1 - j) * 8).astype(np.uint64)
+        out[pay_base[sel] + j] = ((v[sel] >> shift) & np.uint64(0xFF)).astype(np.uint8)
+    return out.tobytes(), row_off
+
+
 def decode_array(blob: bytes | memoryview, count: int) -> np.ndarray:
     """Decode `count` concatenated varints to uint64, vectorized.
 

@@ -39,7 +39,6 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..functions.varint import encode_array
 from ..state import manifest as mf
 from ..stages.tokenize import tokenize_corpus_batch
 
@@ -119,7 +118,7 @@ def encode_partition_runs(entries: dict[str, np.ndarray]) -> pa.Table:
     maximum.reduceat over all terms' block boundaries.
     """
     from ..functions.postings import BLOCK
-    from ..functions.varint import sizes_array
+    from ..functions.varint import encode_split_rows
 
     term = entries["term"]
     nrows = term.size
@@ -144,13 +143,7 @@ def encode_partition_runs(entries: dict[str, np.ndarray]) -> pa.Table:
     df = np.add.reduceat(new_doc, starts)
 
     def stream(vals: np.ndarray, row_starts: np.ndarray, row_ends: np.ndarray):
-        blob = encode_array(vals)
-        sizes = sizes_array(vals)
-        bo = np.zeros(vals.size + 1, dtype=np.int64)
-        np.cumsum(sizes, out=bo[1:])
-        offsets = np.empty(row_starts.size + 1, dtype=np.int64)
-        offsets[:-1] = bo[row_starts]
-        offsets[-1] = bo[row_ends[-1]]
+        blob, offsets = encode_split_rows(vals, row_starts, row_ends)
         return _binary_col(blob, offsets)
 
     tf = entries["tf"]
@@ -389,7 +382,8 @@ def build_index(
         for k in ("n_docs", "n_chunks", "sum_dl", "n_terms", "n_postings")
     }
     manifest = {
-        "version": 1,
+        "version": 2,
+        "blob_format": "split1",
         "chunker": chunker,
         "partitions": [
             {k: e[k] for k in ("pid", "lineage", "segment", "stats")} for e in entries

@@ -143,8 +143,12 @@ def merge_index(
     mode: str = "stack",
 ) -> dict:
     """Merge all build segments into n_shards mass-balanced term-range
-    shards via one groupby(shard) shuffle; records bounds in the
-    manifest (idempotent, per-shard resumable)."""
+    shards; records bounds in the manifest (idempotent, per-shard
+    resumable). mode="stack" (default) passes blobs through (query
+    kernels never need per-term consolidation: they are order-
+    independent over doc-disjoint runs); mode="rewrite" produces the
+    one-run-per-term compacted layout and drops tombstones (the
+    compaction path)."""
     manifest = mf.load_manifest(index_dir)
     terms_paths = [
         os.path.join(index_dir, p["segment"]["terms"]) for p in manifest["partitions"]

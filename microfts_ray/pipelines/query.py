@@ -75,18 +75,22 @@ class _Segment:
         self._docs_tbl: pa.Table | None = None
 
     def term_rows(self, term: int) -> list[dict]:
-        """All posting-run rows for a term (merged shards hold one;
-        salted shuffle segments may hold several)."""
+        """All posting-run rows for a term (rewrite-merged shards hold
+        one; stack-merged shards / salted shuffle segments may hold
+        many). Row groups in the span are read once each."""
         if term in self._row_cache:
             return self._row_cache[term]
         lo = int(np.searchsorted(self.terms, term, side="left"))
         hi = int(np.searchsorted(self.terms, term, side="right"))
-        rows = []
-        for i in range(lo, hi):
-            rg = int(np.searchsorted(self._rg_offsets, i, side="right") - 1)
-            tbl = self._pf.read_row_group(rg)
-            row_in_rg = i - int(self._rg_offsets[rg])
-            rows.append({k: tbl[k][row_in_rg].as_py() for k in tbl.column_names})
+        if hi == lo:
+            self._row_cache[term] = []
+            return []
+        rg_lo = int(np.searchsorted(self._rg_offsets, lo, side="right") - 1)
+        rg_hi = int(np.searchsorted(self._rg_offsets, hi - 1, side="right") - 1)
+        tbl = self._pf.read_row_groups(list(range(rg_lo, rg_hi + 1)))
+        base = int(self._rg_offsets[rg_lo])
+        sl = tbl.slice(lo - base, hi - lo)
+        rows = sl.to_pylist()
         self._row_cache[term] = rows
         return rows
 
@@ -159,11 +163,29 @@ class IndexReader:
         return runs
 
     def term_postings(self, term: int) -> PostingRun:
+        """A term's postings as ONE PostingRun. Doc-disjoint runs are
+        concatenated WITHOUT re-sorting: every query kernel is either
+        order-independent (dense bincount — one add per pair per term)
+        or sorts internally (pair_unique / pair_isin / pair_lookup /
+        pair_group_sum), so the expensive per-term k-way merge is
+        never needed for correctness. Deterministic scores hold
+        because each (pair, term) contributes exactly one addition in
+        ascending-term order regardless of within-term layout."""
         cached = self._run_cache.get(term)
         if cached is not None:
             return cached
         runs = self.term_runs(term)
-        run = merge_runs(runs) if runs else _EMPTY_RUN
+        if not runs:
+            run = _EMPTY_RUN
+        elif len(runs) == 1:
+            run = runs[0]
+        else:
+            run = PostingRun(
+                np.concatenate([r.doc_ids for r in runs]),
+                np.concatenate([r.chunk_ids for r in runs]),
+                np.concatenate([r.tfs for r in runs]),
+                np.concatenate([r.dls for r in runs]),
+            )
         n = len(run)
         if n and self._run_cache_entries + n <= self._run_cache_cap:
             self._run_cache[term] = run

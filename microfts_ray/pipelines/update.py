@@ -230,5 +230,6 @@ def compact(index_dir: str, n_shards: int = 8, concurrency: int | None = None) -
 
     shutil.rmtree(os.path.join(index_dir, "merged"), ignore_errors=True)
     return merge_index(
-        index_dir, n_shards=n_shards, concurrency=concurrency, deleted_docs=tombs
+        index_dir, n_shards=n_shards, concurrency=concurrency,
+        deleted_docs=tombs, mode="rewrite",
     )

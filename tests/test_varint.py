@@ -82,3 +82,30 @@ def test_array_codec_empty_and_single():
     assert decode_array(b"", 0).size == 0
     blob = encode_array(np.array([300], dtype=np.uint64))
     assert decode_array(blob, 1)[0] == 300
+
+
+def test_split_codec_roundtrip():
+    from microfts_ray.functions.varint import (
+        decode_array_split,
+        decode_split_rows,
+        encode_array_split,
+        encode_split_rows,
+    )
+
+    rng = random.Random(13)
+    vals = [v for v, _ in VECTORS] + [rng.randrange(0, 1 << 64) for _ in range(800)]
+    arr = np.array(vals, dtype=np.uint64)
+    blob = encode_array_split(arr)
+    assert (decode_array_split(blob, arr.size) == arr).all()
+    assert len(blob) == sum(num_size(int(v)) for v in arr)  # same compression
+    # multi-row buffer round-trip
+    starts = np.array([0, 5, 100, 400], dtype=np.int64)
+    ends = np.array([5, 100, 400, arr.size], dtype=np.int64)
+    buf, offs = encode_split_rows(arr, starts, ends)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    back = decode_split_rows(raw, offs[:-1], (ends - starts))
+    assert (back == arr).all()
+    # each row's slice decodes independently as a single split blob
+    for i, (s0, e0) in enumerate(zip(starts, ends)):
+        piece = raw[offs[i] : offs[i + 1]]
+        assert (decode_array_split(piece, e0 - s0) == arr[s0:e0]).all()
