@@ -58,6 +58,21 @@ TERMS_SCHEMA = pa.schema(
 )
 
 
+def validate_index(index_dir: str) -> dict:
+    """Post-build validation: doc_id uniqueness across all docs
+    sidecars (the hash-identity collision check promised by
+    stages/tokenize.py:doc_id_for — replaces the reference's global
+    OID allocator invariant). Distributed: Ray groupby over the
+    doc_id column only."""
+    manifest = mf.load_manifest(index_dir)
+    paths = [os.path.join(index_dir, rel) for rel, _ in mf.docs_sources(manifest)]
+    ds = ray.data.read_parquet(paths, columns=["doc_id"])
+    counts = ds.groupby("doc_id").count()
+    dup = counts.filter(lambda r: r["count()"] > 1).count()
+    n = ds.count()
+    return {"n_docs": n, "duplicate_doc_ids": int(dup), "ok": dup == 0}
+
+
 def _pkg_root() -> str:
     """Directory containing the microfts_ray package (for worker
     sys.path bootstrap)."""

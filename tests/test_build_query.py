@@ -198,3 +198,48 @@ def test_bm25_maxscore_path_identical(reader, oracle, query):
     assert [(r["doc_id"], r["chunk_id"], r["score"]) for r in got] == [
         (r["doc_id"], r["chunk_id"], r["score"]) for r in want
     ]
+
+
+def test_validate_index(reader):
+    from microfts_ray.pipelines.build import validate_index
+
+    v = validate_index(reader.index_dir)
+    assert v["ok"] and v["n_docs"] == N_FILES and v["duplicate_doc_ids"] == 0
+
+
+def test_merge_resume_per_shard(corpus_dir, tmp_path_factory):
+    """A crashed merge re-runs only missing shards."""
+    import glob
+    import json
+    import os
+    import shutil as sh
+
+    from microfts_ray.pipelines.merge import merge_index
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("mres"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    m1 = merge_index(idx, n_shards=4)
+    # simulate crash: drop manifest's merged entry + one shard
+    import microfts_ray.state.manifest as mfm
+
+    man = mfm.load_manifest(idx)
+    victim = man["merged"]["shards"][1]
+    man.pop("merged")
+    mfm.commit_manifest(idx, man)
+    os.unlink(os.path.join(idx, "_manifest", f"part-{victim['pid']}.json"))
+    sh.rmtree(os.path.dirname(os.path.join(idx, victim["segment"]["terms"])))
+    mtimes_before = {
+        s["pid"]: os.path.getmtime(os.path.join(idx, s["segment"]["terms"]))
+        for s in m1["merged"]["shards"]
+        if s["pid"] != victim["pid"]
+    }
+    m2 = merge_index(idx, n_shards=4)
+    assert json.dumps(m1["merged"]["shards"], sort_keys=True) == json.dumps(
+        m2["merged"]["shards"], sort_keys=True
+    )
+    # untouched shards were not rewritten
+    for pid, t0 in mtimes_before.items():
+        s = next(x for x in m2["merged"]["shards"] if x["pid"] == pid)
+        assert os.path.getmtime(os.path.join(idx, s["segment"]["terms"])) == t0
