@@ -104,7 +104,7 @@ def decode_block_meta(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
-def decode_terms_table(tbl) -> dict:
+def decode_terms_table(tbl, dict_resolver=None) -> dict:
     """Bulk-decode a TERMS_SCHEMA Arrow table into flat entry arrays.
 
     Zero-copy: for each stream, the Arrow binary column's data buffer
@@ -156,6 +156,22 @@ def decode_terms_table(tbl) -> dict:
     base = np.zeros(ns.size, dtype=np.uint64)
     base[nz] = cs[row_starts[:-1][nz]] - gaps[row_starts[:-1][nz]]
     doc = cs - np.repeat(base, ns)
+    # rank-encoded rows: translate dictionary ranks -> real doc ids
+    if "dict" in tbl.column_names:
+        dict_ids = tbl["dict"].to_pylist()
+        uniq = {d for d in dict_ids if d}
+        if uniq:
+            if dict_resolver is None:
+                raise ValueError(
+                    "table holds rank-encoded doc streams; a dict_resolver is required"
+                )
+            row_of = np.repeat(np.arange(len(dict_ids), dtype=np.int64), ns)
+            dict_arr = np.array(dict_ids, dtype=object)
+            for did in uniq:
+                rows_mask = dict_arr == did
+                emask = rows_mask[row_of]
+                lookup = dict_resolver(did)
+                doc[emask] = lookup[doc[emask].astype(np.int64)]
     terms = np.repeat(tbl["term"].to_numpy().astype(np.uint16), ns)
     return {
         "term": terms,

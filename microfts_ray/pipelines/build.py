@@ -47,6 +47,12 @@ TERMS_SCHEMA = pa.schema(
         ("term", pa.int32()),
         ("n", pa.int64()),
         ("df", pa.int64()),
+        # doc identity dictionary for this row's doc stream: "" means
+        # the stream carries raw 63-bit hash-id gaps; "<pid>:<k>"
+        # means it carries RANK gaps into the sorted doc set of
+        # sub-part k of build partition <pid> (Lucene-style local doc
+        # ids: rank gaps are 1-2 varint bytes vs 6-9 for hash gaps)
+        ("dict", pa.string()),
         ("doc_blob", pa.large_binary()),
         ("chunk_blob", pa.large_binary()),
         ("tf_blob", pa.large_binary()),
@@ -122,7 +128,11 @@ def _binary_col(blob: bytes, byte_offsets: np.ndarray) -> pa.Array:
     )
 
 
-def encode_partition_runs(entries: dict[str, np.ndarray]) -> pa.Table:
+def encode_partition_runs(
+    entries: dict[str, np.ndarray],
+    doc_dict: np.ndarray | None = None,
+    dict_id: str = "",
+) -> pa.Table:
     """Entries sorted by (term, doc_id, chunk_id) -> one encoded
     posting-run row per term (TERMS_SCHEMA).
 
@@ -131,6 +141,11 @@ def encode_partition_runs(entries: dict[str, np.ndarray]) -> pa.Table:
     (doc-gap deltas reset at term boundaries so every slice decodes
     independently). Per-block maxima come from a single global
     maximum.reduceat over all terms' block boundaries.
+
+    With `doc_dict` (the partition's SORTED doc_id array) the doc and
+    block-first-doc streams carry dictionary RANKS instead of raw
+    hash ids — rank order equals doc order, so sorting/df/disjointness
+    semantics are unchanged while gaps shrink to 1-2 bytes.
     """
     from ..functions.postings import BLOCK
     from ..functions.varint import encode_split_rows
@@ -145,7 +160,10 @@ def encode_partition_runs(entries: dict[str, np.ndarray]) -> pa.Table:
     ends = np.concatenate((bounds, [nrows]))
     ns = ends - starts
 
-    doc = entries["doc_id"]
+    if doc_dict is not None:
+        doc = np.searchsorted(doc_dict, entries["doc_id"]).astype(np.uint64)
+    else:
+        doc = entries["doc_id"]
     gaps = np.empty(nrows, dtype=np.uint64)
     gaps[0] = doc[0]
     np.subtract(doc[1:], doc[:-1], out=gaps[1:])
@@ -181,6 +199,7 @@ def encode_partition_runs(entries: dict[str, np.ndarray]) -> pa.Table:
             "term": pa.array(t32[starts], pa.int32()),
             "n": pa.array(ns, pa.int64()),
             "df": pa.array(df, pa.int64()),
+            "dict": pa.array([dict_id] * starts.size, pa.string()),
             "doc_blob": stream(gaps, starts, ends),
             "chunk_blob": stream(entries["chunk_id"], starts, ends),
             "tf_blob": stream(tf, starts, ends),
@@ -228,22 +247,33 @@ def group_partitions(parts: list[dict], n_blocks: int) -> list[dict]:
     return blocks
 
 
-def _tokenize_ranges(part: dict, chunker: str) -> tuple[pa.Table, pa.Table]:
+def _tokenize_ranges(
+    part: dict, chunker: str, dict_id: str = "", sub: int = 0
+) -> tuple[pa.Table, pa.Table]:
     """Tokenize+encode one partition's row-group range; returns
     (terms table, docs table with src_rg lineage). Sized so the sort
-    working set stays cache-resident (SURVEY.md §4 memory notes)."""
+    working set stays cache-resident (SURVEY.md §4 memory notes).
+    Posting doc streams are rank-encoded against this range's sorted
+    doc set (`dict_id`)."""
     f = pq.ParquetFile(part["path"])
     rgs = list(range(part["rg_start"], part["rg_end"]))
     tbl = f.read_row_groups(
         rgs, columns=["repo", "path", "commit", "lang", "content"]
     )
     entries, docs = tokenize_corpus_batch(tbl, chunker=chunker)
-    terms_tbl = encode_partition_runs(entries)
+    doc_dict = np.sort(docs["doc_id"].to_numpy()) if dict_id else None
+    terms_tbl = encode_partition_runs(entries, doc_dict=doc_dict, dict_id=dict_id)
     # lineage: which source row group each doc came from (query-side
     # chunk-text recovery re-reads only that row group, J3)
     rg_rows = [f.metadata.row_group(i).num_rows for i in rgs]
     src_rg = np.repeat(np.array(rgs, dtype=np.int32), rg_rows)
     docs = docs.append_column("src_rg", pa.array(src_rg, type=pa.int32()))
+    docs = docs.append_column(
+        "sub", pa.array(np.full(docs.num_rows, sub, dtype=np.int32), pa.int32())
+    )
+    docs = docs.append_column(
+        "src_path", pa.array([part["path"]] * docs.num_rows, pa.string())
+    )
     return terms_tbl, docs
 
 
@@ -265,8 +295,10 @@ def build_partition(part: dict, index_dir: str, chunker: str = "lines") -> dict:
     t0 = time.perf_counter()
     subs = part.get("sub_parts") or [part]
     term_tables, doc_tables = [], []
-    for sub in subs:
-        t_tbl, d_tbl = _tokenize_ranges(sub, chunker)
+    for k, sub in enumerate(subs):
+        t_tbl, d_tbl = _tokenize_ranges(
+            sub, chunker, dict_id=f"{part['pid']}:{k}", sub=k
+        )
         term_tables.append(t_tbl)
         doc_tables.append(d_tbl)
     terms_tbl = pa.concat_tables(term_tables)
@@ -398,7 +430,7 @@ def build_index(
     }
     manifest = {
         "version": 2,
-        "blob_format": "split1",
+        "blob_format": "split2-dict",
         "chunker": chunker,
         "partitions": [
             {k: e[k] for k in ("pid", "lineage", "segment", "stats")} for e in entries

@@ -117,6 +117,12 @@ def build_index_shuffle(
                 docs2 = docs.append_column(
                     "src_rg", _pa.array([-1] * docs.num_rows, _pa.int32())
                 )
+                docs2 = docs2.append_column(
+                    "sub", _pa.array([0] * docs.num_rows, _pa.int32())
+                )
+                docs2 = docs2.append_column(
+                    "src_path", _pa.array([""] * docs.num_rows, _pa.string())
+                )
                 _pq.write_table(docs2, tmp, row_group_size=512, compression="zstd")
                 os.replace(tmp, path)
         return _pa.table(

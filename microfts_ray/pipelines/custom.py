@@ -64,6 +64,8 @@ def add_chunk(
             "sum_dl": pa.array([dl], pa.int64()),
             "content_sha256": pa.array([corpus_sha256(data.decode("utf-8", "replace"))]),
             "src_rg": pa.array([-1], pa.int32()),
+            "sub": pa.array([0], pa.int32()),
+            "src_path": pa.array([""], pa.string()),
         }
     )
     pid = f"custom-{uuid.uuid4().hex[:12]}"

@@ -75,41 +75,31 @@ def _balanced_bounds(
     return bounds
 
 
-def _consolidate_hot(tbl: pa.Table, hot_threshold: int = 50_000) -> pa.Table:
-    """Rewrite only the HOT terms of a stacked shard (total postings
-    >= hot_threshold across runs) into single consolidated runs.
+def make_dict_resolver(index_dir: str, manifest: dict):
+    """dict_id -> sorted doc array resolver for rank-encoded posting
+    streams (used by rewrite-merge workers)."""
+    cache: dict[str, np.ndarray] = {}
+    pid_docs = {
+        p["pid"]: p["segment"].get("docs")
+        for p in manifest["partitions"]
+        if p["segment"].get("docs")
+    }
 
-    Serving processes prewarm exactly these terms; consolidating them
-    here runs that work once, in parallel across merge tasks, instead
-    of single-threaded at every reader load. Cold terms keep their
-    cheap pass-through rows.
-    """
-    terms = tbl["term"].to_numpy()
-    ns = tbl["n"].to_numpy()
-    if terms.size == 0:
-        return tbl
-    bounds = np.nonzero(np.diff(terms))[0] + 1
-    starts = np.concatenate(([0], bounds))
-    ends = np.concatenate((bounds, [terms.size]))
-    totals = np.add.reduceat(ns, starts)
-    multi = (ends - starts) > 1
-    hot_groups = np.nonzero((totals >= hot_threshold) & multi)[0]
-    if hot_groups.size == 0:
-        return tbl
-    hot_mask = np.zeros(terms.size, dtype=bool)
-    for g in hot_groups:
-        hot_mask[starts[g] : ends[g]] = True
-    from ..functions.postings import decode_terms_table
+    def resolve(did: str) -> np.ndarray:
+        arr = cache.get(did)
+        if arr is None:
+            pid, _, _sub = did.rpartition(":")
+            t = pq.read_table(
+                os.path.join(index_dir, pid_docs[pid]), columns=["doc_id", "sub"]
+            )
+            ids = t["doc_id"].to_numpy()
+            subs = t["sub"].to_numpy()
+            for k in np.unique(subs):
+                cache[f"{pid}:{int(k)}"] = np.sort(ids[subs == k]).astype(np.uint64)
+            arr = cache[did]
+        return arr
 
-    dec = decode_terms_table(tbl.filter(pa.array(hot_mask)))
-    cols = ["term", "doc_id", "chunk_id", "tf", "dl"]
-    entries = {c: dec[c] for c in cols}
-    order = np.lexsort((entries["chunk_id"], entries["doc_id"], entries["term"]))
-    entries = {c: v[order] for c, v in entries.items()}
-    hot_tbl = encode_partition_runs(entries)
-    combined = pa.concat_tables([tbl.filter(pa.array(~hot_mask)), hot_tbl])
-    order2 = np.argsort(combined["term"].to_numpy(), kind="stable")
-    return combined.take(pa.array(order2))
+    return resolve
 
 
 def write_shard_table(
@@ -121,6 +111,7 @@ def write_shard_table(
     tbl: pa.Table,
     deleted_docs: np.ndarray | None = None,
     mode: str = "stack",
+    dict_resolver=None,
 ) -> dict:
     """Sort/encode one shard's rows and write its file atomically;
     records the per-shard checkpoint."""
@@ -140,7 +131,7 @@ def write_shard_table(
     elif tbl.num_rows:
         from ..functions.postings import decode_terms_table
 
-        dec = decode_terms_table(tbl)
+        dec = decode_terms_table(tbl, dict_resolver=dict_resolver)
         cols = ["term", "doc_id", "chunk_id", "tf", "dl"]
         entries = {c: dec[c] for c in cols}
         if deleted_docs is not None and len(deleted_docs):
@@ -219,8 +210,17 @@ def merge_index(
         import pyarrow as _pa
         import pyarrow.parquet as _pq
 
-        from microfts_ray.pipelines.merge import write_shard_table as wst
+        from microfts_ray.pipelines.merge import (
+            make_dict_resolver as mdr,
+            write_shard_table as wst,
+        )
+        import microfts_ray.state.manifest as _mfmod
 
+        resolver = (
+            mdr(index_dir, _mfmod.load_manifest(index_dir))
+            if mode == "rewrite" or dead is not None
+            else None
+        )
         out = []
         for shard, lo, hi in zip(batch["shard"], batch["lo"], batch["hi"]):
             shard, lo, hi = int(shard), int(lo), int(hi)
@@ -256,7 +256,7 @@ def merge_index(
             e = wst(
                 index_dir, shard, n_shards, lo, hi,
                 tbl if tbl is not None else _TS.empty_table(),
-                deleted_docs=dead, mode=mode,
+                deleted_docs=dead, mode=mode, dict_resolver=resolver,
             )
             out.append(e["stats"]["n_postings"])
         return {"shard": batch["shard"], "n_postings": np.array(out, dtype=np.int64)}

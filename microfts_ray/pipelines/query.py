@@ -147,6 +147,13 @@ class IndexReader:
         self._tombstones = np.array(
             sorted(self.manifest.get("tombstones", [])), dtype=np.uint64
         )
+        # doc dictionaries for rank-encoded posting streams
+        self._dict_arrays: dict[str, np.ndarray] = {}
+        self._pid_docs = {
+            p["pid"]: p["segment"].get("docs")
+            for p in self.manifest["partitions"]
+            if p["segment"].get("docs")
+        }
 
     # -- posting access ----------------------------------------------------
     def _term_sources(self, term: int) -> list[_Segment]:
@@ -155,11 +162,39 @@ class IndexReader:
             return [self.shards[min(max(i, 0), self.n_shards - 1)]]
         return self.segments
 
+    def _resolve_dict(self, dict_id: str) -> np.ndarray:
+        """dict_id '<pid>:<k>' -> that sub-part's sorted doc_id array
+        (posting doc streams are rank-encoded against it)."""
+        arr = self._dict_arrays.get(dict_id)
+        if arr is None:
+            import os
+
+            pid, _, sub = dict_id.rpartition(":")
+            rel = self._pid_docs.get(pid)
+            if rel is None:
+                raise KeyError(f"unknown doc dictionary {dict_id!r}")
+            t = pq.read_table(
+                os.path.join(self.index_dir, rel), columns=["doc_id", "sub"]
+            )
+            ids = t["doc_id"].to_numpy()
+            subs = t["sub"].to_numpy()
+            for k in np.unique(subs):
+                a = np.sort(ids[subs == k])
+                self._dict_arrays[f"{pid}:{int(k)}"] = a.astype(np.uint64)
+            arr = self._dict_arrays[dict_id]
+        return arr
+
     def term_runs(self, term: int) -> list[PostingRun]:
         runs = []
         for seg in self._term_sources(term):
             for row in seg.term_rows(term):
-                runs.append(decode_run(row))
+                run = decode_run(row)
+                did = row.get("dict", "")
+                if did:
+                    run.doc_ids = self._resolve_dict(did)[
+                        run.doc_ids.astype(np.int64)
+                    ]
+                runs.append(run)
         return runs
 
     def term_postings(self, term: int) -> PostingRun:
@@ -286,15 +321,21 @@ class IndexReader:
     def _load_doc_meta(self) -> dict[int, tuple]:
         if self._doc_meta is None:
             meta = {}
-            for si, d in self._docs_tables():
-                for doc_id, repo, path, commit, src_rg in zip(
+            for _si, d in self._docs_tables():
+                src_paths = (
+                    d["src_path"].to_pylist()
+                    if "src_path" in d.column_names
+                    else [""] * d.num_rows
+                )
+                for doc_id, repo, path, commit, src_rg, src_path in zip(
                     d["doc_id"].to_numpy(),
                     d["repo"].to_pylist(),
                     d["path"].to_pylist(),
                     d["commit"].to_pylist(),
                     d["src_rg"].to_numpy(),
+                    src_paths,
                 ):
-                    meta[int(doc_id)] = (si, repo, path, commit, int(src_rg))
+                    meta[int(doc_id)] = (src_path, repo, path, commit, int(src_rg))
             self._doc_meta = meta
         return self._doc_meta
 
@@ -311,12 +352,11 @@ class IndexReader:
         for d in set(int(x) for x in doc_ids):
             if d in self._content_cache:
                 continue
-            si, _, _, _, src_rg = meta[d]
-            if src_rg < 0:  # custom-gram chunk: no recoverable text
+            src_path, _, _, _, src_rg = meta[d]
+            if src_rg < 0 or not src_path:  # custom chunk: no source text
                 self._content_cache[d] = ""
                 continue
-            lineage = self.segments[si].entry["lineage"]
-            need.setdefault((lineage["input_path"], src_rg), []).append(d)
+            need.setdefault((src_path, src_rg), []).append(d)
         from ..stages.tokenize import doc_ids_column
 
         for (path, rg), wanted in need.items():

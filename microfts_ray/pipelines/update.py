@@ -171,13 +171,42 @@ def delete_doc(index_dir: str, repo: str, path: str, commit: str) -> dict:
 
 
 def compact(index_dir: str, n_shards: int = 8, concurrency: int | None = None) -> dict:
-    """Reclaim space: rewrite docs sidecars without tombstoned docs,
-    re-merge posting shards dropping their entries, recompute stats,
-    clear tombstones. Result is query-identical to a fresh build."""
+    """Reclaim space (reference cmdCompact semantics): rewrite-merge
+    all postings dropping tombstoned docs, PROMOTE the merged shards
+    to be the index's partitions, rewrite docs sidecars without dead
+    rows, recompute stats, clear tombstones. Result is
+    query-identical to a fresh build.
+
+    Ordering matters: the merge runs FIRST (while rank-encoded
+    posting streams can still resolve against the ORIGINAL doc
+    dictionaries); only then are sidecar rows dropped. After compact
+    all postings carry raw doc ids, so sidecars are dictionary-free
+    and future deltas/compacts stay consistent.
+    """
+    import shutil
+
     manifest = mf.load_manifest(index_dir)
     tombs = np.array(sorted(manifest.get("tombstones", [])), dtype=np.uint64)
 
-    def rewrite_docs(rel: str) -> pa.Table:
+    # 1. rewrite-merge with original dictionaries, tombstones dropped
+    from .merge import merge_index
+
+    man_dir = os.path.join(index_dir, mf.PART_DIR)
+    for f in os.listdir(man_dir):
+        if f.startswith(("part-merged-", "part-mergelvl1-")):
+            os.unlink(os.path.join(man_dir, f))
+    shutil.rmtree(os.path.join(index_dir, "merged"), ignore_errors=True)
+    manifest.pop("merged", None)
+    mf.commit_manifest(index_dir, manifest)
+    manifest = merge_index(
+        index_dir, n_shards=n_shards, concurrency=concurrency,
+        deleted_docs=tombs, mode="rewrite",
+    )
+
+    # 2. drop dead rows from docs sidecars; collect live stats
+    agg = {"n_docs": 0, "n_chunks": 0, "sum_dl": 0}
+    docs_files = []
+    for rel, _si in mf.docs_sources(manifest):
         docs_path = os.path.join(index_dir, rel)
         t = pq.read_table(docs_path)
         if tombs.size:
@@ -187,49 +216,42 @@ def compact(index_dir: str, n_shards: int = 8, concurrency: int | None = None) -
                 tmp = docs_path + f".{uuid.uuid4().hex[:8]}.tmp"
                 pq.write_table(t, tmp, row_group_size=512, compression="zstd")
                 os.replace(tmp, docs_path)
-        return t
-
-    agg = {"n_docs": 0, "n_chunks": 0, "sum_dl": 0}
-    live_parts = []
-    for p in manifest["partitions"]:
-        docs_rel = p["segment"].get("docs")
-        if docs_rel is None:  # shuffle-mode terms-only partition
-            live_parts.append(p)
-            continue
-        t = rewrite_docs(docs_rel)
         if t.num_rows == 0:
             continue
-        stats = dict(p["stats"])
-        stats["n_docs"] = int(t.num_rows)
-        stats["n_chunks"] = int(pa.compute.sum(t["n_chunks"]).as_py() or 0)
-        stats["sum_dl"] = int(pa.compute.sum(t["sum_dl"]).as_py() or 0)
-        for k in agg:
-            agg[k] += stats[k]
-        live_parts.append({**p, "stats": stats})
-    for rel in manifest.get("docs_files", []):
-        t = rewrite_docs(rel)
+        docs_files.append(rel)
         agg["n_docs"] += int(t.num_rows)
         agg["n_chunks"] += int(pa.compute.sum(t["n_chunks"]).as_py() or 0)
         agg["sum_dl"] += int(pa.compute.sum(t["sum_dl"]).as_py() or 0)
-    manifest["partitions"] = live_parts
-    manifest["global"].update(
-        **agg, avgdl=(agg["sum_dl"] / agg["n_chunks"]) if agg["n_chunks"] else 0.0
-    )
+
+    # 3. promote merged shards to the partitions (old segment terms
+    # files become garbage); docs move to manifest level
+    old_terms = [
+        os.path.join(index_dir, p["segment"]["terms"])
+        for p in manifest["partitions"]
+    ]
+    n_terms = sum(s["stats"]["n_terms"] for s in manifest["merged"]["shards"])
+    n_postings = sum(s["stats"]["n_postings"] for s in manifest["merged"]["shards"])
+    manifest["partitions"] = [
+        {
+            "pid": s["pid"],
+            "lineage": {"compacted": True},
+            "segment": {"terms": s["segment"]["terms"]},
+            "stats": {"n_docs": 0, "n_chunks": 0, "sum_dl": 0,
+                      "n_terms": s["stats"]["n_terms"],
+                      "n_postings": s["stats"]["n_postings"]},
+        }
+        for s in manifest["merged"]["shards"]
+    ]
+    manifest["docs_files"] = docs_files
+    manifest["global"] = {
+        **agg,
+        "n_terms": int(n_terms),
+        "n_postings": int(n_postings),
+        "avgdl": (agg["sum_dl"] / agg["n_chunks"]) if agg["n_chunks"] else 0.0,
+    }
     manifest["tombstones"] = []
-    manifest.pop("merged", None)
     mf.commit_manifest(index_dir, manifest)
-    # re-merge with tombstones dropped from posting runs
-    from .merge import merge_index
-
-    # clear stale merged checkpoints so shards rebuild
-    man_dir = os.path.join(index_dir, mf.PART_DIR)
-    for f in os.listdir(man_dir):
-        if f.startswith(("part-merged-", "part-mergelvl1-")):
-            os.unlink(os.path.join(man_dir, f))
-    import shutil
-
-    shutil.rmtree(os.path.join(index_dir, "merged"), ignore_errors=True)
-    return merge_index(
-        index_dir, n_shards=n_shards, concurrency=concurrency,
-        deleted_docs=tombs, mode="rewrite",
-    )
+    for p in old_terms:  # reclaim obsolete posting files
+        if os.path.exists(p) and "merged" not in p:
+            os.unlink(p)
+    return manifest
