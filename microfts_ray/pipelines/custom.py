@@ -61,6 +61,7 @@ def add_chunk(
             "commit": pa.array([commit]),
             "lang": pa.array(["custom"]),
             "n_chunks": pa.array([1], pa.int64()),
+            "chunk_span": pa.array([chunk_id + 1], pa.int64()),
             "sum_dl": pa.array([dl], pa.int64()),
             "content_sha256": pa.array([corpus_sha256(data.decode("utf-8", "replace"))]),
             "src_rg": pa.array([-1], pa.int32()),

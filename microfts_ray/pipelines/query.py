@@ -243,12 +243,16 @@ class IndexReader:
             total += int(seg.dfs[lo:hi].sum())
         return total
 
-    def prewarm(self, min_entries: int = 10_000) -> int:
+    def prewarm(self, min_entries: int = 10_000, parallel: bool | None = None) -> int:
         """Decode the heaviest terms into the run cache (plus dense
         keys/contribs) up to the cache budget — serving processes call
         this once at load so query latency reflects steady state, the
         same way the reference's mmap'd LMDB pages stay hot between
-        per-keystroke searches (org-fts.el)."""
+        per-keystroke searches (org-fts.el).
+
+        With Ray available (default), decoding fans out as tasks —
+        parallel workers mean parallel memory bandwidth, and the
+        decoded arrays travel back zero-copy via the object store."""
         totals: dict[int, int] = {}
         for seg in self.shards or self.segments:
             for t, n in zip(seg.terms.tolist(), seg.ns.tolist()):
@@ -262,14 +266,56 @@ class IndexReader:
             todo.append(int(t))
             budget -= n
 
+        import ray as _ray
+
+        if parallel is None:
+            parallel = _ray.is_initialized() and len(todo) > 4
+        if parallel:
+            from .build import _pkg_root
+
+            pkg_root = _pkg_root()
+            index_dir = self.index_dir
+
+            def warm_task(terms: list[int]) -> dict:
+                import sys
+
+                if pkg_root not in sys.path:
+                    sys.path.insert(0, pkg_root)
+                from microfts_ray.pipelines.query import IndexReader as IR
+
+                r = IR(index_dir)
+                dense = r._dense_space() is not None
+                out = {}
+                for t in terms:
+                    run = r.term_postings(t)
+                    if not len(run):
+                        continue
+                    key = r._dense_key(t, run) if dense else None
+                    contrib = r._term_contrib(t, run) if dense else None
+                    out[t] = (run.doc_ids, run.chunk_ids, run.tfs, run.dls,
+                              key, contrib)
+                return out
+
+            remote = _ray.remote(num_cpus=1)(warm_task)
+            n_tasks = min(8, max(1, len(todo) // 2))
+            chunks = [todo[i::n_tasks] for i in range(n_tasks)]
+            for fut in [remote.remote(c) for c in chunks if c]:
+                for t, (d, c, tf, dl, key, contrib) in _ray.get(fut).items():
+                    run = PostingRun(d, c, tf, dl)
+                    self._run_cache[t] = run
+                    self._run_cache_entries += len(run)
+                    if key is not None:
+                        self._dense_keys[t] = key
+                    if contrib is not None:
+                        self._contrib_cache[t] = contrib
+            return len(todo)
+
         def warm_one(t: int) -> None:
             run = self.term_postings(t)
             if len(run) and use_dense:
                 self._dense_key(t, run)
                 self._term_contrib(t, run)
 
-        # numpy decode kernels release the GIL, so a thread pool gets
-        # real parallelism without shipping runs between processes
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=8) as ex:
@@ -280,7 +326,11 @@ class IndexReader:
     def candidates(self, grams: set[int]) -> PostingRun | None:
         """Multi-gram AND intersection, smallest list first
         (intersectGrams, fts-lmdb.go:1497-1528). None if any gram is
-        missing from the index (reference exit(1))."""
+        missing from the index (reference exit(1)).
+
+        Dense fast path: with the bounded chunk-key space available,
+        intersection is a per-gram counter over dense keys (each gram
+        hits a pair at most once), so no posting list is ever sorted."""
         if not grams:
             return None
         sized = []
@@ -290,6 +340,22 @@ class IndexReader:
                 return None
             sized.append((n, g))
         sized.sort()
+        if self._dense_space() is not None:
+            doc_ids, base = self._dense
+            K = int(base[-1])
+            count = np.zeros(K, dtype=np.uint8 if len(sized) < 256 else np.uint16)
+            for _, g in sized:
+                run = self.term_postings(g)
+                count[self._dense_key(g, run)] += 1
+            hit = np.nonzero(count == len(sized))[0]
+            idx = np.searchsorted(base, hit, side="right") - 1
+            live = self._live_mask(doc_ids[idx])
+            return PostingRun(
+                doc_ids[idx][live],
+                (hit - base[idx]).astype(np.uint64)[live],
+                np.empty(0, dtype=np.uint64),
+                np.empty(0, dtype=np.uint64),
+            )
         seed = self.term_postings(sized[0][1])
         cur_doc, cur_chunk = seed.doc_ids, seed.chunk_ids
         for _, g in sized[1:]:
@@ -357,17 +423,56 @@ class IndexReader:
                 self._content_cache[d] = ""
                 continue
             need.setdefault((src_path, src_rg), []).append(d)
-        from ..stages.tokenize import doc_ids_column
+        import ray as _ray
 
-        for (path, rg), wanted in need.items():
-            tbl = pq.ParquetFile(path).read_row_group(
-                rg, columns=["repo", "path", "commit", "content"]
-            )
-            ids = doc_ids_column(tbl["repo"], tbl["path"], tbl["commit"])
-            wset = set(wanted)
-            for i, did in enumerate(ids):
-                if int(did) in wset:
-                    self._content_cache[int(did)] = tbl["content"][i].as_py()
+        if len(need) >= 8 and _ray.is_initialized():
+            # J3 at scale: candidate text recovery fans out as Ray
+            # tasks — each reads only its source row group
+            from .build import _pkg_root
+
+            pkg_root = _pkg_root()
+
+            def fetch(items: list) -> dict:
+                import sys
+
+                if pkg_root not in sys.path:
+                    sys.path.insert(0, pkg_root)
+                import pyarrow.parquet as _pq
+
+                from microfts_ray.stages.tokenize import doc_ids_column as dic
+
+                out = {}
+                for path, rg, wanted in items:
+                    tbl = _pq.ParquetFile(path).read_row_group(
+                        rg, columns=["repo", "path", "commit", "content"]
+                    )
+                    ids = dic(tbl["repo"], tbl["path"], tbl["commit"])
+                    wset = set(wanted)
+                    for i, did in enumerate(ids):
+                        if int(did) in wset:
+                            out[int(did)] = tbl["content"][i].as_py()
+                return out
+
+            remote = _ray.remote(num_cpus=1)(fetch)
+            items = [(p, rg, w) for (p, rg), w in need.items()]
+            n_tasks = min(16, len(items))
+            futs = [
+                remote.remote(items[i::n_tasks]) for i in range(n_tasks)
+            ]
+            for fut in futs:
+                self._content_cache.update(_ray.get(fut))
+        else:
+            from ..stages.tokenize import doc_ids_column
+
+            for (path, rg), wanted in need.items():
+                tbl = pq.ParquetFile(path).read_row_group(
+                    rg, columns=["repo", "path", "commit", "content"]
+                )
+                ids = doc_ids_column(tbl["repo"], tbl["path"], tbl["commit"])
+                wset = set(wanted)
+                for i, did in enumerate(ids):
+                    if int(did) in wset:
+                        self._content_cache[int(did)] = tbl["content"][i].as_py()
         out = []
         for d, c in zip(doc_ids, chunk_ids):
             lines = split_lines(self._content_cache[int(d)])
@@ -429,17 +534,33 @@ class IndexReader:
         grams = sorted(gram_set(*args, partial=True))
         if not grams:
             return []
-        docs, chunks, counts = [], [], []
-        for g in grams:
-            run = self.term_postings(g)
-            if len(run) == 0:
-                return []
-            docs.append(run.doc_ids)
-            chunks.append(run.chunk_ids)
-            counts.append(np.ones(len(run)))
-        d, c, (n,) = pair_group_sum(
-            np.concatenate(docs), np.concatenate(chunks), np.concatenate(counts)
-        )
+        if self._dense_space() is not None:
+            # dense overlap counting: one counter pass per gram
+            doc_ids, base = self._dense
+            K = int(base[-1])
+            count = np.zeros(K, dtype=np.uint16)
+            for g in grams:
+                run = self.term_postings(g)
+                if len(run) == 0:
+                    return []
+                count[self._dense_key(g, run)] += 1
+            hit = np.nonzero(count)[0]
+            n = count[hit].astype(np.float64)
+            idx = np.searchsorted(base, hit, side="right") - 1
+            d = doc_ids[idx]
+            c = (hit - base[idx]).astype(np.uint64)
+        else:
+            docs, chunks, counts = [], [], []
+            for g in grams:
+                run = self.term_postings(g)
+                if len(run) == 0:
+                    return []
+                docs.append(run.doc_ids)
+                chunks.append(run.chunk_ids)
+                counts.append(np.ones(len(run)))
+            d, c, (n,) = pair_group_sum(
+                np.concatenate(docs), np.concatenate(chunks), np.concatenate(counts)
+            )
         live = self._live_mask(d)
         d, c, n = d[live], c[live], n[live]
         pct = n / len(grams)
@@ -557,7 +678,8 @@ class IndexReader:
             ids, chunks = [], []
             for _si, d in self._docs_tables():
                 ids.append(d["doc_id"].to_numpy())
-                chunks.append(d["n_chunks"].to_numpy())
+                span_col = "chunk_span" if "chunk_span" in d.column_names else "n_chunks"
+                chunks.append(d[span_col].to_numpy())
             doc_ids = np.concatenate(ids)
             n_chunks = np.concatenate(chunks)
             order = np.argsort(doc_ids)

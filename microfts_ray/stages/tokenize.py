@@ -144,6 +144,13 @@ def tokenize_corpus_batch(
     sum_dl = np.zeros(len(contents), dtype=np.int64)
     doc_of_chunk = np.repeat(np.arange(len(contents)), n_chunks)
     np.add.at(sum_dl, doc_of_chunk, chunk_dl)
+    # chunk_span = exclusive upper bound of chunk_id per doc; equals
+    # n_chunks for the line chunker, but org chunk ids are start-line
+    # ordinals with gaps (dense query keys size by span, not count)
+    chunk_span = n_chunks.copy()
+    if chunk_local_ids is not None:
+        for i, ids_ in enumerate(chunk_local_ids):
+            chunk_span[i] = int(ids_.max()) + 1 if ids_.size else 0
     docs = pa.table(
         {
             "doc_id": pa.array(doc_ids, type=pa.uint64()),
@@ -152,6 +159,7 @@ def tokenize_corpus_batch(
             "commit": commit,
             "lang": batch["lang"],
             "n_chunks": pa.array(n_chunks),
+            "chunk_span": pa.array(chunk_span),
             "sum_dl": pa.array(sum_dl),
             "content_sha256": pa.array([corpus_sha256(c) for c in contents]),
         }
