@@ -111,7 +111,7 @@ class IndexReader:
     (/root/reference/fts-lmdb.go:1046-1165).
     """
 
-    def __init__(self, index_dir: str, cache_entries: int = 50_000_000):
+    def __init__(self, index_dir: str, cache_entries: int = 150_000_000):
         self.index_dir = index_dir
         self.manifest = mf.load_manifest(index_dir)
         self.segments = [_Segment(index_dir, e) for e in self.manifest["partitions"]]
@@ -297,7 +297,7 @@ class IndexReader:
                 return out
 
             remote = _ray.remote(num_cpus=1)(warm_task)
-            n_tasks = min(8, max(1, len(todo) // 2))
+            n_tasks = min(16, max(1, len(todo) // 2))
             chunks = [todo[i::n_tasks] for i in range(n_tasks)]
             for fut in [remote.remote(c) for c in chunks if c]:
                 for t, (d, c, tf, dl, key, contrib) in _ray.get(fut).items():
