@@ -351,6 +351,7 @@ def build_index(
     chunker: str = "lines",
     target_rows_per_part: int = 4000,
     concurrency: int | None = None,
+    n_blocks: int | None = None,
 ) -> dict:
     """Build (or resume) the full index; commits manifest.json.
 
@@ -367,7 +368,9 @@ def build_index(
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         n_cpus = 8
-    blocks = group_partitions(parts, max(1, min(len(parts), n_cpus * 4)))
+    blocks = group_partitions(
+        parts, n_blocks if n_blocks else max(1, min(len(parts), n_cpus * 4))
+    )
     ds = ray.data.from_items(blocks, override_num_blocks=len(blocks))
     pkg_root = _pkg_root()
 

@@ -167,12 +167,43 @@ def write_shard_table(
     return entry
 
 
+def stack_segments(index_dir: str, gid: int, paths: list[str]) -> dict:
+    """Hierarchical level-1 fan-in: stack whole segment files into one
+    term-sorted intermediate (blob pass-through). Only worthwhile when
+    the segment count is large enough that per-shard file opens would
+    dominate (each shard task opens every input); checkpointed like
+    every other unit of work."""
+    pid = f"mergelvl1-{gid:04d}"
+    existing = mf.read_part_checkpoint(index_dir, pid)
+    if existing is not None:
+        return existing
+    tables = [pq.read_table(p) for p in paths]
+    stacked = pa.concat_tables(tables)
+    order = np.argsort(stacked["term"].to_numpy(), kind="stable")
+    tbl = stacked.take(pa.array(order))
+    out_dir = os.path.join(index_dir, "merged", "level1")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"stack-{gid:04d}.parquet")
+    tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
+    pq.write_table(tbl, tmp, row_group_size=512, compression="lz4")
+    os.replace(tmp, out)
+    entry = {
+        "pid": pid,
+        "path": os.path.relpath(out, index_dir),
+        "lineage": {"inputs": [os.path.relpath(p, index_dir) for p in paths]},
+    }
+    mf.write_part_checkpoint(index_dir, pid, entry)
+    return entry
+
+
 def merge_index(
     index_dir: str,
     n_shards: int = 8,
     concurrency: int | None = None,
     deleted_docs: np.ndarray | None = None,
     mode: str = "stack",
+    level1_threshold: int = 512,
+    fan_in: int = 32,
 ) -> dict:
     """Merge all build segments into n_shards mass-balanced term-range
     shards; records bounds in the manifest (idempotent, per-shard
@@ -185,6 +216,32 @@ def merge_index(
     terms_paths = [
         os.path.join(index_dir, p["segment"]["terms"]) for p in manifest["partitions"]
     ]
+    pkg_root0 = _pkg_root()
+    if len(terms_paths) >= level1_threshold:
+        # hierarchical level: consolidate fan_in segments per
+        # intermediate so the shard pass opens #segments/fan_in files
+        # (at 10^12-file scale this level repeats log_F times)
+        groups = [
+            {"gid": g, "paths": terms_paths[g * fan_in : (g + 1) * fan_in]}
+            for g in range((len(terms_paths) + fan_in - 1) // fan_in)
+        ]
+        gds = ray.data.from_items(groups, override_num_blocks=len(groups))
+
+        def run_stack(batch: dict) -> dict:
+            import sys
+
+            if pkg_root0 not in sys.path:
+                sys.path.insert(0, pkg_root0)
+            from microfts_ray.pipelines.merge import stack_segments as ss
+
+            rels = []
+            for gid, paths in zip(batch["gid"], batch["paths"]):
+                rels.append(ss(index_dir, int(gid), list(paths))["path"])
+            return {"gid": batch["gid"], "path": rels}
+
+        kw1 = {"concurrency": concurrency} if concurrency else {}
+        out = gds.map_batches(run_stack, batch_size=1, num_cpus=1, **kw1).take_all()
+        terms_paths = sorted(os.path.join(index_dir, r["path"]) for r in out)
     bounds = _balanced_bounds(terms_paths, n_shards)
     inner = np.array(bounds[1:-1], dtype=np.int64)
     pkg_root = _pkg_root()

@@ -243,3 +243,36 @@ def test_merge_resume_per_shard(corpus_dir, tmp_path_factory):
     for pid, t0 in mtimes_before.items():
         s = next(x for x in m2["merged"]["shards"] if x["pid"] == pid)
         assert os.path.getmtime(os.path.join(idx, s["segment"]["terms"])) == t0
+
+
+def test_hierarchical_merge_many_segments(tmp_path_factory):
+    """Multi-level merge: >=512 build segments trigger the level-1
+    fan-in; results stay oracle-identical."""
+    import glob
+
+    d = tmp_path_factory.mktemp("manyseg")
+    write_corpus(str(d), 600, files_per_shard=600, row_group_size=1)
+    paths = sorted(glob.glob(f"{d}/*.parquet"))
+    idx = str(tmp_path_factory.mktemp("manyidx") / "idx")
+    # 1 file per partition-block -> 600 segments
+    from microfts_ray.pipelines.build import plan_partitions
+
+    build_index(paths, idx, target_rows_per_part=1, n_blocks=10**9)
+    import microfts_ray.state.manifest as mfm
+
+    n_segments = len(mfm.load_manifest(idx)["partitions"])
+    from microfts_ray.pipelines.merge import merge_index
+
+    m = merge_index(idx, n_shards=4, level1_threshold=256, fan_in=32)
+    import os
+
+    lvl1 = glob.glob(os.path.join(idx, "merged", "level1", "*.parquet"))
+    assert n_segments >= 256
+    assert lvl1, "level-1 intermediates expected"
+    reader = IndexReader(idx)
+    oracle = OracleIndex.build(gen_table(0, 600).to_pylist())
+    got = reader.bm25_topk("def f_1(a, b):", k=10)
+    want = oracle.bm25_topk("def f_1(a, b):", k=10)
+    assert [(r["doc_id"], r["chunk_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["chunk_id"], r["score"]) for r in want
+    ]
