@@ -234,9 +234,13 @@ def main(argv: list[str] | None = None) -> int:
         return repo, path, commit
 
     if args.cmd == "delete":
-        from .pipelines.update import delete_doc
+        from .pipelines.update import delete_group_by_name
 
-        delete_doc(args.db, *parse_group(args.group))
+        try:
+            delete_group_by_name(args.db, args.group)
+        except KeyError as e:
+            print(e, file=sys.stderr)
+            return 1
         return 0
 
     if args.cmd == "empty":

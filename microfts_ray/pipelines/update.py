@@ -170,6 +170,28 @@ def delete_doc(index_dir: str, repo: str, path: str, commit: str) -> dict:
     return manifest
 
 
+def delete_group_by_name(index_dir: str, group: str) -> dict:
+    """Reference deleteGroupByName (fts-lmdb.go:1628-1638): resolve
+    the display name 'repo/path@commit' against the INDEX (repo may
+    itself contain '/', so the name alone is ambiguous) and tombstone
+    the matching doc. Raises KeyError if no group matches."""
+    manifest = mf.load_manifest(index_dir)
+    for rel, _si in mf.docs_sources(manifest):
+        t = pq.read_table(
+            os.path.join(index_dir, rel),
+            columns=["doc_id", "repo", "path", "commit"],
+        )
+        for d, r_, p_, c_ in zip(
+            t["doc_id"].to_numpy(),
+            t["repo"].to_pylist(),
+            t["path"].to_pylist(),
+            t["commit"].to_pylist(),
+        ):
+            if f"{r_}/{p_}@{c_}" == group:
+                return delete_doc(index_dir, r_, p_, c_)
+    raise KeyError(f"no group named {group!r} in the index")
+
+
 def compact(index_dir: str, n_shards: int = 8, concurrency: int | None = None) -> dict:
     """Reclaim space (reference cmdCompact semantics): rewrite-merge
     all postings dropping tombstoned docs, PROMOTE the merged shards

@@ -124,3 +124,24 @@ def test_idempotent_update_noop(setup):
     assert len(m["partitions"]) == len(IndexReader(idx).manifest["partitions"])
     diff = snapshot_diff(idx, [src])
     assert not diff["new_or_changed"] and not diff["deleted"]
+
+
+def test_delete_group_by_name_with_slashy_repo(setup):
+    """Group display names are ambiguous when repo contains '/'; the
+    name must resolve against the index (deleteGroupByName parity)."""
+    rows, src, idx, tmp = setup
+    r0 = rows[0]
+    assert "/" in r0["repo"]  # corpus repos look like orgNNNN/projN
+    from microfts_ray.pipelines.update import delete_group_by_name
+    from microfts_ray.stages.tokenize import doc_id_for
+
+    name = f"{r0['repo']}/{r0['path']}@{r0['commit']}"
+    m = delete_group_by_name(idx, name)
+    assert doc_id_for(r0["repo"], r0["path"], r0["commit"]) in m["tombstones"]
+    reader = IndexReader(idx)
+    dead = doc_id_for(r0["repo"], r0["path"], r0["commit"])
+    assert all(h["doc_id"] != dead for h in reader.search("def"))
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        delete_group_by_name(idx, "nope/nope@nope")
