@@ -887,6 +887,83 @@ class IndexReader:
         return self._doc_dl_cache
 
 
+class QueryActor:
+    """Serving actor: one IndexReader (with its decoded-run, dense-key
+    and contribution caches) pinned in a long-lived process — the
+    stateful query-serving stage of the north_star. Deploy as
+    `ray.remote(QueryActor)` via QueryService."""
+
+    def __init__(self, index_dir: str, prewarm: bool = True):
+        self.reader = IndexReader(index_dir)
+        if prewarm:
+            # in-actor prewarm stays sequential (the pool itself is
+            # the parallelism; nested Ray tasks would oversubscribe)
+            self.reader.prewarm(parallel=False)
+
+    def bm25_topk(self, query: str, k: int = 10) -> list[dict]:
+        return self.reader.bm25_topk(query, k)
+
+    def bm25_topk_docs(self, query: str, k: int = 10) -> list[dict]:
+        return self.reader.bm25_topk_docs(query, k)
+
+    def search(self, *args: str, **kw) -> list[dict]:
+        return self.reader.search(*args, **kw)
+
+    def fuzzy(self, *args: str, **kw) -> list[dict]:
+        return self.reader.fuzzy(*args, **kw)
+
+
+class QueryService:
+    """Round-robin front over a QueryActor pool. Each actor caches its
+    own hot set; queries fan out without any shared mutable state
+    (SURVEY.md §2.3 ST1 mapping)."""
+
+    def __init__(self, index_dir: str, n_actors: int = 2, prewarm: bool = True):
+        import ray as _ray
+
+        from .build import _pkg_root
+
+        pkg_root = _pkg_root()
+
+        def make(index_dir: str, prewarm: bool):
+            import sys
+
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from microfts_ray.pipelines.query import QueryActor as QA
+
+            return QA(index_dir, prewarm)
+
+        # wrap construction so workers bootstrap sys.path first
+        @_ray.remote
+        class _Actor:
+            def __init__(self, index_dir: str, prewarm: bool):
+                self.inner = make(index_dir, prewarm)
+
+            def call(self, method: str, args: tuple, kw: dict):
+                return getattr(self.inner, method)(*args, **kw)
+
+        self._actors = [
+            _Actor.remote(index_dir, prewarm) for _ in range(n_actors)
+        ]
+        self._rr = 0
+
+    def _next(self):
+        a = self._actors[self._rr % len(self._actors)]
+        self._rr += 1
+        return a
+
+    def bm25_topk(self, query: str, k: int = 10) -> list[dict]:
+        import ray as _ray
+
+        return _ray.get(self._next().call.remote("bm25_topk", (query, k), {}))
+
+    def search(self, *args: str, **kw) -> list[dict]:
+        import ray as _ray
+
+        return _ray.get(self._next().call.remote("search", args, kw))
+
+
 def _span(sorted_terms: np.ndarray, term: int) -> tuple[int, int]:
     return (
         int(np.searchsorted(sorted_terms, term, side="left")),

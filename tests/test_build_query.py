@@ -276,3 +276,22 @@ def test_hierarchical_merge_many_segments(tmp_path_factory):
     assert [(r["doc_id"], r["chunk_id"], r["score"]) for r in got] == [
         (r["doc_id"], r["chunk_id"], r["score"]) for r in want
     ]
+
+
+def test_query_actor_pool(reader, oracle):
+    """QueryService actor pool returns the same results as a local
+    reader (stateful serving stage)."""
+    from microfts_ray.pipelines.query import QueryService
+
+    svc = QueryService(reader.index_dir, n_actors=2, prewarm=False)
+    got = svc.bm25_topk("def f_1(a, b):", k=5)
+    want = oracle.bm25_topk("def f_1(a, b):", k=5)
+    assert [(r["doc_id"], r["chunk_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["chunk_id"], r["score"]) for r in want
+    ]
+    # round-robin: both actors serve
+    a = svc.search("import", "mod_1")
+    b = svc.search("import", "mod_1")
+    assert [(r["doc_id"], r["chunk_id"]) for r in a] == [
+        (r["doc_id"], r["chunk_id"]) for r in b
+    ]
