@@ -54,23 +54,55 @@ def _index_doc_shas(index_dir: str, manifest: dict) -> dict[int, str]:
 
 
 def snapshot_diff(index_dir: str, corpus_paths: list[str]) -> dict:
-    """Classify snapshot rows vs the index: new/changed doc keys and
-    deleted doc_ids (keys in the index missing from the snapshot)."""
+    """Classify snapshot rows vs the index: new/changed doc ids and
+    deleted doc_ids (keys in the index missing from the snapshot).
+
+    Distributed: snapshot hashing (blake2b ids + content sha256) runs
+    as a Ray Data map over the corpus; only (doc_id, sha) pairs come
+    back to the driver for the comparison. At sandbox scale the
+    indexed-sha map is driver-resident; beyond ~10^9 docs the compare
+    itself becomes a hash join of the two (doc_id, sha) tables."""
+    import ray
+    import ray.data
+
+    from .build import _pkg_root
+
     manifest = mf.load_manifest(index_dir)
     indexed = _index_doc_shas(index_dir, manifest)
+    pkg_root = _pkg_root()
+
+    def hash_batch(batch):
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        import pyarrow as _pa
+
+        from microfts_ray.sources.corpus import corpus_sha256 as sha
+        from microfts_ray.stages.tokenize import doc_ids_column as dic
+
+        ids = dic(batch["repo"], batch["path"], batch["commit"])
+        shas = [sha(c) for c in batch["content"].to_pylist()]
+        return _pa.table(
+            {"doc_id": _pa.array(ids, _pa.uint64()), "sha": _pa.array(shas)}
+        )
+
+    snap = (
+        ray.data.read_parquet(
+            sorted(corpus_paths), columns=["repo", "path", "commit", "content"]
+        )
+        .map_batches(hash_batch, batch_format="pyarrow")
+        .take_all()
+    )
     seen: set[int] = set()
-    new_or_changed: list[tuple[str, int]] = []  # (path, row_idx)
-    for path in sorted(corpus_paths):
-        t = pq.read_table(path, columns=["repo", "path", "commit", "content"])
-        ids = doc_ids_column(t["repo"], t["path"], t["commit"])
-        for i, d in enumerate(ids):
-            d = int(d)
-            seen.add(d)
-            sha = indexed.get(d)
-            if sha is None or sha != corpus_sha256(t["content"][i].as_py()):
-                new_or_changed.append((path, i))
+    new_or_changed: list[int] = []  # doc ids needing (re)index
+    for row in snap:
+        d = int(row["doc_id"])
+        seen.add(d)
+        if indexed.get(d) != row["sha"]:
+            new_or_changed.append(d)
     deleted = sorted(set(indexed) - seen)
-    return {"new_or_changed": new_or_changed, "deleted": deleted}
+    return {"new_or_changed": sorted(new_or_changed), "deleted": deleted}
 
 
 def apply_update(
@@ -90,12 +122,15 @@ def apply_update(
     """
     manifest = mf.load_manifest(index_dir)
     diff = snapshot_diff(index_dir, corpus_paths)
+    changed_ids = np.array(sorted(diff["new_or_changed"]), dtype=np.uint64)
     if not delete_missing:
         # keep only old versions of re-supplied (repo, path) keys
         changed_keys = set()
-        for path, i in diff["new_or_changed"]:
-            t = pq.read_table(path, columns=["repo", "path"])
-            changed_keys.add((t["repo"][i].as_py(), t["path"][i].as_py()))
+        for path in sorted(corpus_paths):
+            t = pq.read_table(path, columns=["repo", "path", "commit"])
+            ids = doc_ids_column(t["repo"], t["path"], t["commit"])
+            for i in np.nonzero(np.isin(ids, changed_ids))[0]:
+                changed_keys.add((t["repo"][int(i)].as_py(), t["path"][int(i)].as_py()))
         indexed_keys: dict[int, tuple[str, str]] = {}
         for rel, _si in mf.docs_sources(manifest):
             t = pq.read_table(
@@ -123,14 +158,18 @@ def apply_update(
         # source file), then run the ordinary partition build on them
         delta_dir = os.path.join(index_dir, "delta", f"gen-{gen}")
         os.makedirs(delta_dir, exist_ok=True)
-        by_file: dict[str, list[int]] = {}
-        for path, i in diff["new_or_changed"]:
-            by_file.setdefault(path, []).append(i)
-        for j, (path, rows) in enumerate(sorted(by_file.items())):
-            t = pq.read_table(path).take(rows)
+        j = 0
+        for path in sorted(corpus_paths):
+            keys = pq.read_table(path, columns=["repo", "path", "commit"])
+            ids = doc_ids_column(keys["repo"], keys["path"], keys["commit"])
+            rows = np.nonzero(np.isin(ids, changed_ids))[0]
+            if rows.size == 0:
+                continue
+            t = pq.read_table(path).take(pa.array(rows))
             out = os.path.join(delta_dir, f"delta-{j:05d}.parquet")
             pq.write_table(t, out, row_group_size=max(1, target_rows_per_part // 4))
             delta_paths.append(out)
+            j += 1
         for part in plan_partitions(delta_paths, target_rows_per_part):
             part["pid"] = f"g{gen}-{part['pid']}"
             entry = build_partition(part, index_dir, chunker)
