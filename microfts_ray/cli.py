@@ -229,7 +229,28 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     def parse_group(g: str) -> tuple[str, str, str]:
+        """Resolve a display name 'repo/path@commit'. Repo names may
+        themselves contain '/' (org/proj), so the name alone is
+        ambiguous — resolve against the INDEX's existing (repo, path)
+        keys first (deleteGroupByName parity, fts-lmdb.go:1628-1638);
+        for brand-new groups fall back to the documented rule: the
+        FIRST '/' separates repo from path."""
         head, _, commit = g.rpartition("@")
+        from .state import manifest as mf
+
+        if mf.manifest_exists(args.db):
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            man = mf.load_manifest(args.db)
+            for rel, _si in mf.docs_sources(man):
+                t = _pq.read_table(
+                    _os.path.join(args.db, rel), columns=["repo", "path"]
+                )
+                for r_, p_ in zip(t["repo"].to_pylist(), t["path"].to_pylist()):
+                    if f"{r_}/{p_}" == head:
+                        return r_, p_, commit
         repo, _, path = head.partition("/")
         return repo, path, commit
 

@@ -23,8 +23,19 @@ from ..state import manifest as mf
 COVERAGE_THRESHOLDS = [0.01, 0.1, 0.5, 1, 2, 3, 4, 5, 10, 15, 25, 50, 75, 99, 100]
 
 
-def term_histogram(index_dir: str) -> np.ndarray:
-    """Global per-term posting counts (length GRAM_3_BASE)."""
+_BLOB_COLS = [
+    "doc_blob", "chunk_blob", "tf_blob", "dl_blob",
+    "bmax_tf_blob", "bmin_dl_blob", "bfirst_doc_blob",
+]
+
+
+def term_histogram(index_dir: str, with_bytes: bool = False):
+    """Global per-term posting counts (length GRAM_3_BASE); with
+    with_bytes also the per-term encoded posting byte sizes
+    (displayGrams parity, fts-lmdb.go:319-381 reports sizes alongside
+    counts)."""
+    import pyarrow.compute as pc
+
     manifest = mf.load_manifest(index_dir)
     merged = manifest.get("merged")
     if merged:
@@ -32,9 +43,19 @@ def term_histogram(index_dir: str) -> np.ndarray:
     else:
         paths = [os.path.join(index_dir, p["segment"]["terms"]) for p in manifest["partitions"]]
     counts = np.zeros(GRAM_3_BASE, dtype=np.int64)
+    sizes = np.zeros(GRAM_3_BASE, dtype=np.int64) if with_bytes else None
+    cols = ["term", "n"] + (_BLOB_COLS if with_bytes else [])
     for p in paths:
-        t = pq.read_table(p, columns=["term", "n"])
-        np.add.at(counts, t["term"].to_numpy(), t["n"].to_numpy())
+        t = pq.read_table(p, columns=cols)
+        terms = t["term"].to_numpy()
+        np.add.at(counts, terms, t["n"].to_numpy())
+        if with_bytes:
+            row_bytes = np.zeros(t.num_rows, dtype=np.int64)
+            for c in _BLOB_COLS:
+                row_bytes += pc.binary_length(t[c]).to_numpy(zero_copy_only=False)
+            np.add.at(sizes, terms, row_bytes)
+    if with_bytes:
+        return counts, sizes
     return counts
 
 
@@ -54,8 +75,9 @@ def index_info(index_dir: str, grams: bool = False, groups: bool = False) -> dic
         "chunker": manifest.get("chunker", "lines"),
     }
     if grams:
-        counts = term_histogram(index_dir)
+        counts, sizes = term_histogram(index_dir, with_bytes=True)
         used = counts[counts > 0]
+        used_sizes = sizes[counts > 0]
         n_chunks = max(g["n_chunks"], 1)
         cdf = {}
         for pct in COVERAGE_THRESHOLDS:
@@ -67,9 +89,13 @@ def index_info(index_dir: str, grams: bool = False, groups: bool = False) -> dic
             "vocabulary_bound": GRAM_3_BASE,
             "min_postings": int(used.min()) if used.size else 0,
             "max_postings": int(used.max()) if used.size else 0,
+            "total_bytes": int(sizes.sum()),
+            "min_bytes": int(used_sizes.min()) if used.size else 0,
+            "max_bytes": int(used_sizes.max()) if used.size else 0,
             "coverage_cdf": cdf,
             "hottest": [
-                {"gram": gram_to_str(int(i)), "n": int(counts[i])}
+                {"gram": gram_to_str(int(i)), "n": int(counts[i]),
+                 "bytes": int(sizes[i])}
                 for i in top_idx
                 if counts[i] > 0
             ],

@@ -500,10 +500,31 @@ class IndexReader:
         cand = self.candidates(gram_set(*args, partial=partial))
         if cand is None or len(cand) == 0:
             return []
-        texts = self.chunk_texts(cand.doc_ids, cand.chunk_ids)
+        # reference semantics (fts-lmdb.go:1359, OracleIndex.search):
+        # the per-group CANDIDATE list (sorted by chunk position) is
+        # truncated to limit_per_group BEFORE verification — a gram
+        # false positive in an early chunk consumes a slot even though
+        # it fails verify.
+        triples = sorted(
+            (self.doc_group(int(d)), int(d), int(c))
+            for d, c in zip(cand.doc_ids, cand.chunk_ids)
+        )
+        triples.sort(key=lambda t: (t[0], t[2]))
+        if limit_per_group is not None:
+            kept, counts = [], {}
+            for t in triples:
+                counts[t[0]] = counts.get(t[0], 0) + 1
+                if counts[t[0]] <= limit_per_group:
+                    kept.append(t)
+            triples = kept
+        if not triples:
+            return []
+        d_arr = np.array([t[1] for t in triples], dtype=np.uint64)
+        c_arr = np.array([t[2] for t in triples], dtype=np.uint64)
+        texts = self.chunk_texts(d_arr, c_arr)
         pat = re.compile(regexp_filter) if regexp_filter else None
         rows = []
-        for d, c, text in zip(cand.doc_ids, cand.chunk_ids, texts):
+        for (grp, d, c), text in zip(triples, texts):
             if pat is not None and not pat.search(text):
                 continue
             offsets = [has_arg(text, a, partial) for a in args]
@@ -511,22 +532,14 @@ class IndexReader:
                 continue
             rows.append(
                 {
-                    "group": self.doc_group(int(d)),
-                    "doc_id": int(d),
-                    "chunk_id": int(c),
-                    "line": int(c) + 1,
+                    "group": grp,
+                    "doc_id": d,
+                    "chunk_id": c,
+                    "line": c + 1,
                     "offset": min(offsets),
                     "text": text,
                 }
             )
-        rows.sort(key=lambda r: (r["group"], r["chunk_id"]))
-        if limit_per_group is not None:
-            out, counts = [], {}
-            for r in rows:
-                counts[r["group"]] = counts.get(r["group"], 0) + 1
-                if counts[r["group"]] <= limit_per_group:
-                    out.append(r)
-            rows = out
         return rows
 
     def fuzzy(self, *args: str, threshold: float, sort_all: bool = False) -> list[dict]:
@@ -806,9 +819,14 @@ class IndexReader:
                 continue
             w = self._idf(len(run))
             contrib = self._contrib(w, run.tfs, run.dls)
-            d = np.concatenate([accD, run.doc_ids])
-            c = np.concatenate([accC, run.chunk_ids])
-            s = np.concatenate([accS, contrib])
+            # drop tombstoned pairs BEFORE they enter the accumulator:
+            # theta is the kk-th partial score over candidates, and dead
+            # docs in the top-kk slots would inflate it and stop
+            # admission of live pairs that belong in the true top-k
+            rlive = self._live_mask(run.doc_ids)
+            d = np.concatenate([accD, run.doc_ids[rlive]])
+            c = np.concatenate([accC, run.chunk_ids[rlive]])
+            s = np.concatenate([accS, contrib[rlive]])
             accD, accC, inv = pair_unique(d, c)
             ns = np.zeros(accD.size, dtype=np.float64)
             np.add.at(ns, inv, s)
@@ -816,8 +834,6 @@ class IndexReader:
         # truncate in full tie-break order (score desc, doc asc, chunk
         # asc) so equal-score boundary candidates keep the same
         # preference as the oracle's final ranking
-        live = self._live_mask(accD)
-        accD, accC, accS = accD[live], accC[live], accS[live]
         take = min(accS.size, kk)
         top = np.lexsort((accC, accD, -accS))[:take]
         return accD[top], accC[top]

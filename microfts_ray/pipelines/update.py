@@ -181,12 +181,25 @@ def apply_update(
     # `deleted` already, since the old key left the snapshot)
     tombs = sorted(set(manifest.get("tombstones", [])) | set(diff["deleted"]))
     manifest["tombstones"] = tombs
-    # recompute global stats over live partitions (tombstones still
-    # included until compact — documented drift)
+    # recompute global stats (tombstones still included until compact —
+    # documented drift). Doc-level stats come from the docs SIDECARS,
+    # not partition stats: compact promotes merged shards whose
+    # partition entries carry n_docs/n_chunks/sum_dl=0 (the docs live
+    # at manifest['docs_files']), so summing partition stats after a
+    # compact would corrupt N/avgdl and flip BM25 idf signs.
     agg = {
         k: int(sum(p["stats"][k] for p in manifest["partitions"]))
-        for k in ("n_docs", "n_chunks", "sum_dl", "n_terms", "n_postings")
+        for k in ("n_terms", "n_postings")
     }
+    for k in ("n_docs", "n_chunks", "sum_dl"):
+        agg[k] = 0
+    for rel, _si in mf.docs_sources(manifest):
+        t = pq.read_table(
+            os.path.join(index_dir, rel), columns=["n_chunks", "sum_dl"]
+        )
+        agg["n_docs"] += int(t.num_rows)
+        agg["n_chunks"] += int(pa.compute.sum(t["n_chunks"]).as_py() or 0)
+        agg["sum_dl"] += int(pa.compute.sum(t["sum_dl"]).as_py() or 0)
     manifest["global"] = {
         **agg,
         "avgdl": (agg["sum_dl"] / agg["n_chunks"]) if agg["n_chunks"] else 0.0,
@@ -285,13 +298,25 @@ def compact(index_dir: str, n_shards: int = 8, concurrency: int | None = None) -
         agg["sum_dl"] += int(pa.compute.sum(t["sum_dl"]).as_py() or 0)
 
     # 3. promote merged shards to the partitions (old segment terms
-    # files become garbage); docs move to manifest level
+    # files become garbage); docs move to manifest level. The shard
+    # files are MOVED out of merged/ into a generation-tagged
+    # compacted dir first — a later compact rmtree's merged/ before
+    # re-merging, which must never destroy live promoted partitions.
     old_terms = [
         os.path.join(index_dir, p["segment"]["terms"])
         for p in manifest["partitions"]
     ]
-    n_terms = sum(s["stats"]["n_terms"] for s in manifest["merged"]["shards"])
-    n_postings = sum(s["stats"]["n_postings"] for s in manifest["merged"]["shards"])
+    gen = uuid.uuid4().hex[:8]
+    keep_dir = f"compacted-{gen}"
+    os.makedirs(os.path.join(index_dir, keep_dir), exist_ok=True)
+    promoted = []
+    for s in manifest["merged"]["shards"]:
+        rel = s["segment"]["terms"]
+        new_rel = os.path.join(keep_dir, f"{s['pid']}-terms.parquet")
+        os.replace(os.path.join(index_dir, rel), os.path.join(index_dir, new_rel))
+        promoted.append({**s, "segment": {"terms": new_rel}})
+    n_terms = sum(s["stats"]["n_terms"] for s in promoted)
+    n_postings = sum(s["stats"]["n_postings"] for s in promoted)
     manifest["partitions"] = [
         {
             "pid": s["pid"],
@@ -301,8 +326,11 @@ def compact(index_dir: str, n_shards: int = 8, concurrency: int | None = None) -
                       "n_terms": s["stats"]["n_terms"],
                       "n_postings": s["stats"]["n_postings"]},
         }
-        for s in manifest["merged"]["shards"]
+        for s in promoted
     ]
+    # keep the merged view (shard bounds routing) pointing at the
+    # relocated files so readers retain the term-range fast path
+    manifest["merged"] = {**manifest["merged"], "shards": promoted}
     manifest["docs_files"] = docs_files
     manifest["global"] = {
         **agg,

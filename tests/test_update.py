@@ -88,6 +88,42 @@ def test_update_then_compact_equals_fresh_build(setup):
         ], q
 
 
+def test_compact_then_update_keeps_stats_sane(setup):
+    """Regression: apply_update after a compact must not zero-out
+    n_docs/n_chunks/sum_dl (compact-promoted shards carry 0 doc stats;
+    the real numbers live in the docs sidecars). A corrupted avgdl/N
+    flips BM25 idf signs and reorders results vs the oracle."""
+    rows, src, idx, tmp = setup
+    compact(idx, n_shards=4)
+    # post-compact update: change one doc, add one
+    v2 = [dict(r) for r in rows]
+    v2[0] = {**v2[0], "commit": "d" * 40, "content": "def tail_fn(y):\n    return y\n"}
+    v2 += gen_table(300, 1).to_pylist()
+    src2 = str(tmp / "v2c.parquet")
+    _write(v2, src2)
+    m = apply_update(idx, [src2], target_rows_per_part=10)
+    g = m["global"]
+    oracle = OracleIndex.build(v2)
+    # pre-compact drift: the tombstoned old version of row 0 still
+    # counts in the stats, so totals = oracle + that one dead doc
+    dead_chunks = rows[0]["content"].count("\n") + (
+        0 if rows[0]["content"].endswith("\n") else 1
+    )
+    assert g["n_docs"] == len(oracle.doc_meta) + 1
+    assert g["n_chunks"] == oracle.n_chunks + dead_chunks
+    assert g["n_chunks"] > 0 and g["sum_dl"] > oracle.sum_dl
+    # and BM25 must still agree with the oracle after the follow-up
+    # compact restores exact stats
+    compact(idx, n_shards=4)
+    reader = IndexReader(idx)
+    for q in ["def", "tail_fn", "import"]:
+        got = reader.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(r["doc_id"], r["chunk_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["chunk_id"], r["score"]) for r in want
+        ], q
+
+
 def test_dry_run_makes_no_changes(setup):
     rows, src, idx, tmp = setup
     v2 = rows[:-5]
