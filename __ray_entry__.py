@@ -37,13 +37,36 @@ def _word_re(term: str) -> str:
 _TOKENS_SQL = "list_filter(string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '')"
 
 
+def _blocks_for(path: str, target_mb: int = 32) -> int:
+    """Block count sized to the DATA (>=1 block per target_mb of file,
+    capped at cpu count): Ray's default splits small files into
+    cpu-many tiny blocks, and each downstream all-to-all then pays
+    O(blocks^2) scheduling overhead for microscopic partitions. At
+    real scale the file size term dominates and this returns the same
+    streaming parallelism Ray would pick."""
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    size_mb = os.path.getsize(path) / (1 << 20)
+    return max(1, min(4 * cpus, int(size_mb // target_mb) + 1))
+
+
 def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    # documents is the CPU-heavy text table: parallelism follows row
+    # count (tokenize/hash cost per row), not file bytes
+    import pyarrow.parquet as _pq
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    rows = _pq.ParquetFile(p).metadata.num_rows
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    blocks = max(1, min(4 * cpus, rows // 1250 + 1))
+    return ray.data.read_parquet(p, override_num_blocks=blocks)
 
 
 def _table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    p = os.path.join(sf_dir, f"{name}.parquet")
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+        p, columns=columns, override_num_blocks=_blocks_for(p)
     )
 
 

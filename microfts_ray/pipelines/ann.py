@@ -18,7 +18,17 @@ import ray.data
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.array(col.to_pylist(), dtype=np.float64)
+    """(n, d) float64 matrix from a list<float>/fixed_size_list column
+    without a Python-object round-trip: reshape the Arrow values
+    buffer (zero-copy view), then one vectorized dtype cast."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    values = col.flatten()  # child values array (handles list offsets)
+    flat = values.to_numpy(zero_copy_only=False)
+    return flat.reshape(n, -1).astype(np.float64, copy=False)
 
 
 def cosine_topk(
@@ -38,7 +48,7 @@ def cosine_topk(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
-        ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ids = batch["vec_id"].to_numpy().astype(np.int64, copy=False)
         embs = _as_matrix(batch["embedding"])
         norms = np.linalg.norm(embs, axis=1)
         norms[norms == 0] = 1.0
@@ -98,7 +108,7 @@ def cosine_topk_lsh(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qv, pl, sigs = ray.get(q_ref)
-        ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+        ids = batch["vec_id"].to_numpy().astype(np.int64, copy=False)
         embs = _as_matrix(batch["embedding"])
         bits = (embs @ pl) > 0
         sig = (bits.astype(np.int64) << np.arange(pl.shape[1])).sum(axis=1)

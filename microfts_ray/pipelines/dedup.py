@@ -8,14 +8,17 @@ embedding-cosine near-dup — each expressed Ray-Data-first:
 signatures (bytes per doc), never raw text.
 
 Scale notes: bucket groups are capped (`max_bucket`) — a degenerate
-bucket (e.g. empty docs) would otherwise emit O(n^2) pairs; capped
-buckets are logged in the output as dropped. Pair outputs are
-(a < b) canonical and globally deduplicated by a final groupby.
+bucket (e.g. empty docs) would otherwise emit O(n^2) pairs; over-cap
+buckets are SKIPPED and logged through the `microfts_ray.dedup`
+logger (one warning per dropped bucket with its size), so candidate
+loss is visible, never silent. Pair outputs are (a < b) canonical and
+globally deduplicated by a final groupby.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 import re
 
 import numpy as np
@@ -24,7 +27,18 @@ import ray.data
 
 from .textstats import word_tokens
 
+logger = logging.getLogger("microfts_ray.dedup")
+
 _MERSENNE = (1 << 61) - 1
+_P61 = np.uint64(_MERSENNE)
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def _log_dropped_bucket(op: str, key, size: int, cap: int) -> None:
+    logger.warning(
+        "%s: dropped over-cap bucket %s (size %d > max_bucket %d); "
+        "pairs within it are not emitted", op, key, size, cap
+    )
 
 
 def exact_dedup(ds: ray.data.Dataset, key: str = "text") -> ray.data.Dataset:
@@ -53,34 +67,87 @@ def exact_dedup(ds: ray.data.Dataset, key: str = "text") -> ray.data.Dataset:
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """64-bit hashes of word k-gram shingles (deterministic)."""
+def _shingle_hashes(text: str, k: int = 3, memo: dict | None = None) -> np.ndarray:
+    """64-bit blake2b hashes of the DISTINCT word k-gram shingles
+    (deterministic). Both consumers are set-based (minhash takes a
+    min; Jaccard uniquifies), so duplicates are dropped before the
+    hash calls; `memo` lets a batch share shingle hashes across docs
+    (boilerplate lines repeat heavily in real corpora)."""
     toks = word_tokens(text)
     if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
+        shingles = {" ".join(toks)} if toks else set()
     else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
     out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
-        )
+    blake = hashlib.blake2b
+    if memo is None:
+        for i, s in enumerate(shingles):
+            out[i] = int.from_bytes(blake(s.encode(), digest_size=8).digest(), "big")
+    else:
+        for i, s in enumerate(shingles):
+            h = memo.get(s)
+            if h is None:
+                h = int.from_bytes(blake(s.encode(), digest_size=8).digest(), "big")
+                memo[s] = h
+            out[i] = h
     return out
 
 
-def _minhash_sig(sh: np.ndarray, n_perm: int, seed: int = 7) -> np.ndarray:
-    """n_perm minhashes via universal hashing a*x+b mod p (vectorized)."""
-    if sh.size == 0:
-        return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+def _modmul_add(a: np.uint64, b: np.uint64, x: np.ndarray) -> np.ndarray:
+    """(a*x + b) mod 2^61-1, exact, pure uint64 (no Python bigints):
+    32-bit limb products reduced with 2^61 ≡ 1 (mod p)."""
+    a0 = a & _M32
+    a1 = a >> np.uint64(32)
+    x0 = x & _M32
+    x1 = x >> np.uint64(32)
+    hi = a1 * x1  # < 2^58
+    mid = a1 * x0 + a0 * x1  # < 2^62
+    lo = a0 * x0  # < 2^64
+    # mid * 2^32 mod p: split mid at 29 bits (2^29 * 2^32 = 2^61 ≡ 1)
+    mid_mod = (mid >> np.uint64(29)) + (
+        (mid & np.uint64((1 << 29) - 1)) << np.uint64(32)
+    )
+    lo_mod = (lo >> np.uint64(61)) + (lo & _P61)
+    r = np.uint64(8) * hi + mid_mod + lo_mod + b  # < ~2^63
+    r = (r >> np.uint64(61)) + (r & _P61)
+    r = (r >> np.uint64(61)) + (r & _P61)
+    return np.where(r >= _P61, r - _P61, r)
+
+
+def _perm_constants(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
     b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
-    x = (sh % np.uint64(_MERSENNE)).astype(np.object_)  # python ints: exact mod-mul
-    sig = np.empty(n_perm, dtype=np.uint64)
-    for i in range(n_perm):
-        vals = (int(a[i]) * x + int(b[i])) % _MERSENNE
-        sig[i] = int(vals.min())
-    return sig
+    return a, b
+
+
+def _minhash_sig(sh: np.ndarray, n_perm: int, seed: int = 7) -> np.ndarray:
+    """n_perm minhashes via universal hashing (a*x+b) mod 2^61-1 —
+    bit-identical to the scalar bigint definition, vectorized."""
+    return _minhash_sigs([sh], n_perm, seed)[0]
+
+
+def _minhash_sigs(
+    hash_arrays: list[np.ndarray], n_perm: int, seed: int = 7
+) -> np.ndarray:
+    """(n_docs, n_perm) minhash signatures for a whole batch in one
+    vectorized pass: concatenate every doc's shingle hashes, apply
+    each permutation to the flat array, segment-min per doc."""
+    n_docs = len(hash_arrays)
+    a, b = _perm_constants(n_perm, seed)
+    sigs = np.full((n_docs, n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    nonempty = [i for i, h in enumerate(hash_arrays) if h.size]
+    if not nonempty:
+        return sigs
+    flat = np.concatenate([hash_arrays[i] for i in nonempty]) % _P61
+    lens = np.array([hash_arrays[i].size for i in nonempty])
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    rows = np.array(nonempty)
+    for j in range(n_perm):
+        vals = _modmul_add(a[j], b[j], flat)
+        sigs[rows, j] = np.minimum.reduceat(vals, starts)
+    return sigs
 
 
 def minhash_lsh_pairs(
@@ -97,62 +164,86 @@ def minhash_lsh_pairs(
 
     shingle -> minhash -> band buckets (groupby) -> in-bucket verify.
     Output: (a, b, jaccard_est) with a < b, deduplicated.
+
+    The shuffle key is a bucket SHARD (band, bucket & mask), not the
+    raw bucket: most buckets are singletons, and one map_groups call
+    per singleton bucket is pure per-group overhead. A shard holds
+    many buckets; the group fn sub-groups by exact bucket with one
+    argsort and vectorizes each real bucket's pair check.
     """
     rows_per_band = n_perm // bands
+    shard_mask = (1 << 10) - 1  # 1024 shards/band; hashed buckets balance
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        out = {"band": [], "bucket": [], "doc_id": [], "sig": []}
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sig = _minhash_sig(_shingle_hashes(text, k), n_perm)
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        memo: dict = {}
+        hashes = [_shingle_hashes(t, k, memo) for t in texts]
+        sigs = _minhash_sigs(hashes, n_perm)  # one vectorized pass
+        out = {"bucket": [], "doc_id": [], "sig": []}
+        blake = hashlib.blake2b
+        for di, doc_id in enumerate(ids):
+            sig = sigs[di]
             sig_bytes = sig.tobytes()
             for band in range(bands):
                 chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                # band index is salted INTO the bucket hash, so one
+                # int64 key carries (band, band-chunk) identity
                 bucket = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+                    blake(band.to_bytes(4, "big") + chunk.tobytes(),
+                          digest_size=8).digest(), "big"
                 ) & 0x7FFFFFFFFFFFFFFF
-                out["band"].append(band)
                 out["bucket"].append(bucket)
                 out["doc_id"].append(doc_id)
                 out["sig"].append(sig_bytes)
-        return pa.table(
+        t = pa.table(
             {
-                "band": pa.array(out["band"], pa.int32()),
                 "bucket": pa.array(out["bucket"], pa.int64()),
                 "doc_id": pa.array(out["doc_id"], pa.int64()),
                 "sig": pa.array(out["sig"], pa.large_binary()),
             }
         )
+        shard = np.bitwise_and(t["bucket"].to_numpy(), shard_mask)
+        return t.append_column("shard", pa.array(shard, pa.int64()))
 
     buckets = ds.map_batches(sig_rows, batch_format="pyarrow")
 
     def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "jaccard_est": pa.array([], pa.float64())}
-            )
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in group["sig"].to_pylist()]
+        bkt = group["bucket"].to_numpy()
+        ids_all = group["doc_id"].to_numpy()
+        sig_col = group["sig"]
+        order0 = np.argsort(bkt, kind="stable")
+        bs = bkt[order0]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        ends = np.r_[starts[1:], bs.size]
         a_out, b_out, j_out = [], [], []
-        order = np.argsort(ids)
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                x, y = order[ii], order[jj]
-                if ids[x] == ids[y]:
-                    continue
-                est = float((sigs[x] == sigs[y]).mean())
-                if est >= threshold:
-                    a_out.append(min(ids[x], ids[y]))
-                    b_out.append(max(ids[x], ids[y]))
-                    j_out.append(est)
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2:
+                continue
+            if m > max_bucket:
+                _log_dropped_bucket("minhash_lsh", int(bs[s]), m, max_bucket)
+                continue
+            idx = order0[s:e]
+            ids = ids_all[idx]
+            order = np.argsort(ids)
+            idx = idx[order]
+            ids = ids[order]
+            S = np.stack(
+                [np.frombuffer(sig_col[int(i)].as_py(), dtype=np.uint64) for i in idx]
+            )
+            est = (S[:, None, :] == S[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(m, 1)
+            keep = (est[iu, ju] >= threshold) & (ids[iu] != ids[ju])
+            a_out.extend(ids[iu[keep]].tolist())
+            b_out.extend(ids[ju[keep]].tolist())
+            j_out.extend(est[iu[keep], ju[keep]].tolist())
         return pa.table(
             {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64()),
              "jaccard_est": pa.array(j_out, pa.float64())}
         )
 
-    pairs = buckets.groupby(["band", "bucket"]).map_groups(
+    pairs = buckets.groupby("shard").map_groups(
         emit_pairs, batch_format="pyarrow"
     )
     # dedup pairs found in multiple bands
@@ -174,21 +265,40 @@ def simhash64(ds: ray.data.Dataset) -> ray.data.Dataset:
     tf; deterministic (blake2b token hashes)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        out = []
-        for text in batch["text"].to_pylist():
+        # hash the batch VOCABULARY once (unique tokens across all
+        # docs), then each doc's simhash is a small matmul over its
+        # vocab slice — same blake2b values as the per-row form
+        texts = batch["text"].to_pylist()
+        vocab: dict[str, int] = {}
+        doc_idx: list[np.ndarray] = []
+        for text in texts:
             toks = word_tokens(text)
-            if not toks:
+            ii = np.empty(len(toks), dtype=np.int64)
+            for j, t in enumerate(toks):
+                v = vocab.get(t)
+                if v is None:
+                    v = len(vocab)
+                    vocab[t] = v
+                ii[j] = v
+            doc_idx.append(ii)
+        blake = hashlib.blake2b
+        hs = np.empty(len(vocab), dtype=np.uint64)
+        for t, v in vocab.items():
+            hs[v] = int.from_bytes(blake(t.encode(), digest_size=8).digest(), "big")
+        # ±1 bit matrix for the whole vocab: (V, 64) int64
+        pm = (
+            ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+            .astype(np.int64) * 2 - 1
+        )
+        shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for ii in doc_idx:
+            if ii.size == 0:
                 out.append(0)
                 continue
-            uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-            hs = np.empty(uniq.size, dtype=np.uint64)
-            for i, t in enumerate(uniq):
-                hs[i] = int.from_bytes(
-                    hashlib.blake2b(str(t).encode(), digest_size=8).digest(), "big"
-                )
-            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-            votes = ((bits.astype(np.int64) * 2 - 1) * counts[:, None]).sum(axis=0)
-            sh = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            uniq, counts = np.unique(ii, return_counts=True)
+            votes = counts @ pm[uniq]
+            sh = int(((votes > 0).astype(np.uint64) << shifts).sum())
             out.append(sh & 0x7FFFFFFFFFFFFFFF)
         return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out, pa.int64())})
 
@@ -200,12 +310,16 @@ def ngram_jaccard_pairs(
 ) -> ray.data.Dataset:
     """Exact n-gram Jaccard near-dup pairs, LSH-free: bucket by the
     single smallest shingle hash (docs sharing no shingle can't reach
-    any threshold > 0), verify exact Jaccard within buckets."""
+    any threshold > 0), verify exact Jaccard within buckets. Shuffle
+    key is a bucket shard (see minhash_lsh_pairs) to amortize
+    per-group overhead over many buckets."""
+    shard_mask = (1 << 10) - 1
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         bucket, doc, shing = [], [], []
+        memo: dict = {}
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sh = np.unique(_shingle_hashes(text, k))
+            sh = np.unique(_shingle_hashes(text, k, memo))
             if sh.size == 0:
                 continue
             # emit one row per min-K shingles: candidate generation
@@ -213,28 +327,47 @@ def ngram_jaccard_pairs(
                 bucket.append(int(h) & 0x7FFFFFFFFFFFFFFF)
                 doc.append(doc_id)
                 shing.append(sh.tobytes())
-        return pa.table(
+        t = pa.table(
             {"bucket": pa.array(bucket, pa.int64()), "doc_id": pa.array(doc, pa.int64()),
              "sh": pa.array(shing, pa.large_binary())}
         )
+        shard = np.bitwise_and(t["bucket"].to_numpy(), shard_mask)
+        return t.append_column("shard", pa.array(shard, pa.int64()))
 
     def emit(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
+        # sub-group the shard by exact bucket (one argsort), verify
+        # exact Jaccard within each real bucket
+        bkt = group["bucket"].to_numpy()
+        ids_all = group["doc_id"].to_numpy()
+        sh_col = group["sh"]
+        order0 = np.argsort(bkt, kind="stable")
+        bs = bkt[order0]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        ends = np.r_[starts[1:], bs.size]
         a_out, b_out, j_out = [], [], []
-        if 2 <= len(ids) <= max_bucket:
-            shs = [np.frombuffer(s, dtype=np.uint64) for s in group["sh"].to_pylist()]
+        for s, e in zip(starts, ends):
+            m = int(e - s)
+            if m < 2:
+                continue
+            if m > max_bucket:
+                _log_dropped_bucket("ngram_jaccard", int(bs[s]), m, max_bucket)
+                continue
+            idx = order0[s:e]
+            ids = ids_all[idx]
             order = np.argsort(ids)
-            for ii in range(len(order)):
-                for jj in range(ii + 1, len(order)):
-                    x, y = order[ii], order[jj]
-                    if ids[x] == ids[y]:
+            idx = idx[order]
+            ids = ids[order]
+            shs = [np.frombuffer(sh_col[int(i)].as_py(), dtype=np.uint64) for i in idx]
+            for ii in range(m):
+                for jj in range(ii + 1, m):
+                    if ids[ii] == ids[jj]:
                         continue
-                    inter = np.intersect1d(shs[x], shs[y]).size
-                    union = shs[x].size + shs[y].size - inter
+                    inter = np.intersect1d(shs[ii], shs[jj]).size
+                    union = shs[ii].size + shs[jj].size - inter
                     jac = inter / union if union else 0.0
                     if jac >= threshold:
-                        a_out.append(min(ids[x], ids[y]))
-                        b_out.append(max(ids[x], ids[y]))
+                        a_out.append(int(ids[ii]))
+                        b_out.append(int(ids[jj]))
                         j_out.append(jac)
         return pa.table(
             {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64()),
@@ -243,7 +376,7 @@ def ngram_jaccard_pairs(
 
     pairs = (
         ds.map_batches(sig_rows, batch_format="pyarrow")
-        .groupby("bucket")
+        .groupby("shard")
         .map_groups(emit, batch_format="pyarrow")
     )
     from ray.data.aggregate import Max
@@ -262,19 +395,32 @@ def embedding_neardup_pairs(
     ds: ray.data.Dataset,
     *,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 11,
     max_bucket: int = 512,
+    n_rows_hint: int | None = None,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup: random-hyperplane LSH buckets
     (groupby) then exact cosine verify within buckets.
 
     Expects (vec_id, embedding:list<float>). Output (a, b, cosine).
+
+    n_planes=None scales the plane count with dataset size (target
+    average bucket occupancy ~= max_bucket/8) — a FIXED plane count
+    means a fixed 2^n_planes bucket universe, and at scale every
+    bucket exceeds max_bucket and all pairs would be dropped. Pass
+    n_rows_hint to avoid the ds.count() metadata pass.
     """
+    if n_planes is None:
+        n = n_rows_hint if n_rows_hint is not None else ds.count()
+        target_buckets = max(16, (2 * n) // max(1, max_bucket // 8))
+        n_planes = min(30, max(4, int(np.ceil(np.log2(target_buckets)))))
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        embs = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        ids = batch["vec_id"].to_pylist()
+        from ..pipelines.ann import _as_matrix
+
+        embs = _as_matrix(batch["embedding"])  # zero-copy Arrow -> numpy
+        ids = batch["vec_id"].to_numpy()
         if embs.size == 0:
             return pa.table(
                 {"bucket": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
@@ -293,6 +439,10 @@ def embedding_neardup_pairs(
     def emit(group: pa.Table) -> pa.Table:
         ids = group["vec_id"].to_pylist()
         a_out, b_out, c_out = [], [], []
+        if len(ids) > max_bucket:
+            _log_dropped_bucket(
+                "embedding_neardup", group["bucket"][0].as_py(), len(ids), max_bucket
+            )
         if 2 <= len(ids) <= max_bucket:
             embs = np.stack(
                 [np.frombuffer(e, dtype=np.float64) for e in group["emb"].to_pylist()]

@@ -21,6 +21,7 @@ import pyarrow as pa
 import ray.data
 
 _TOKEN_SPLIT = re.compile(r"[^0-9a-z]+")
+_ALPHA_RUNS = re.compile(r"[A-Za-z]+")
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -80,10 +81,13 @@ def quality_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         n_chars, n_tok, alpha_ratio, avg_len = [], [], [], []
+        alpha_runs = _ALPHA_RUNS
         for t in texts:
             toks = word_tokens(t)
             nc = len(t)
-            na = sum(c.isascii() and c.isalpha() for c in t)
+            # ASCII-alpha char count == total length of [A-Za-z] runs
+            # (one regex scan instead of a per-char Python loop)
+            na = sum(map(len, alpha_runs.findall(t)))
             n_chars.append(nc)
             n_tok.append(len(toks))
             alpha_ratio.append(na / nc if nc else 0.0)
@@ -105,15 +109,19 @@ def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, lang_pred) — deterministic stopword/CJK heuristic.
     Ties break by language code ascending."""
 
+    from collections import Counter
+
     def fn(batch: pa.Table) -> pa.Table:
         preds = []
         for t in batch["text"].to_pylist():
             if _CJK.search(t):
                 preds.append("zh")
                 continue
-            toks = word_tokens(t)
+            cnt = Counter(word_tokens(t))
+            # occurrence-weighted marker score, one Counter pass per
+            # doc instead of a per-token per-language membership loop
             scores = {
-                lang: sum(tok in marks for tok in toks)
+                lang: sum(cnt[w] for w in marks if w in cnt)
                 for lang, marks in _LANG_MARKERS.items()
             }
             best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
@@ -128,19 +136,30 @@ def fingerprint(ds: ray.data.Dataset, window: int = 4) -> ray.data.Dataset:
     rolling blake2b hashes over token windows (deterministic 63-bit).
     """
 
-    def fp_one(text: str) -> int:
-        toks = word_tokens(text)
-        if not toks:
-            return 0
-        hs = []
-        for i in range(max(1, len(toks) - window + 1)):
-            w = " ".join(toks[i : i + window])
-            h = hashlib.blake2b(w.encode(), digest_size=8).digest()
-            hs.append(int.from_bytes(h, "big") & 0x7FFFFFFFFFFFFFFF)
-        return min(hs)
-
     def fn(batch: pa.Table) -> pa.Table:
-        fps = [fp_one(t) for t in batch["text"].to_pylist()]
+        # fp = min over window hashes, so each DISTINCT window string
+        # needs hashing once per batch (windows repeat within and
+        # across docs); same blake2b values as the per-row form
+        memo: dict[str, int] = {}
+        blake = hashlib.blake2b
+        fps = []
+        for text in batch["text"].to_pylist():
+            toks = word_tokens(text)
+            if not toks:
+                fps.append(0)
+                continue
+            best = None
+            for i in range(max(1, len(toks) - window + 1)):
+                w = " ".join(toks[i : i + window])
+                h = memo.get(w)
+                if h is None:
+                    h = int.from_bytes(
+                        blake(w.encode(), digest_size=8).digest(), "big"
+                    ) & 0x7FFFFFFFFFFFFFFF
+                    memo[w] = h
+                if best is None or h < best:
+                    best = h
+            fps.append(best)
         return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
