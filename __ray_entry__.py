@@ -271,6 +271,12 @@ def q_embedding_neardup(sf_dir: str) -> Any:
     )
 
 
+def q_embedding_neardup_exact(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.dedup import embedding_pairs_exact
+
+    return embedding_pairs_exact(_table(sf_dir, "embeddings"), threshold=0.35)
+
+
 def q_lang_id(sf_dir: str) -> Any:
     from microfts_ray.pipelines.textstats import lang_id
 
@@ -331,13 +337,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ann_lsh": q_ann_lsh,
     }
 
 
+def _lang_marker_sql() -> str:
+    """Per-language stopword scores + the engine's tie-break (max
+    score, language code ascending; 'und' when all zero; CJK -> zh).
+    Mirrors microfts_ray/pipelines/textstats.py:_LANG_MARKERS."""
+    from microfts_ray.pipelines.textstats import _LANG_MARKERS
+
+    score_cols = ", ".join(
+        "len(list_filter(t, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in sorted(marks))
+        + f"], x))) AS s_{lang}"
+        for lang, marks in _LANG_MARKERS.items()
+    )
+    return (
+        f"WITH tok AS (SELECT doc_id, text, {_TOKENS_SQL} AS t FROM documents), "
+        f"s AS (SELECT doc_id, text, {score_cols} FROM tok) "
+        "SELECT doc_id, CASE "
+        "WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+        "WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und' "
+        "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' "
+        "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
+        "WHEN s_es >= s_fr THEN 'es' "
+        "ELSE 'fr' END AS lang_pred FROM s ORDER BY doc_id"
+    )
+
+
+_NGRAM_JACCARD_SQL = (
+    # word 3-shingles per doc (single joined shingle under 3 tokens),
+    # exact pairwise Jaccard over distinct shingles, threshold 0.3
+    f"WITH tok AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN "
+    "(CASE WHEN len(t) > 0 THEN [array_to_string(t, ' ')] ELSE [] END) "
+    "ELSE [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)] END AS s "
+    "FROM tok), u AS (SELECT doc_id, list_distinct(s) AS s FROM sh) "
+    "SELECT a, b, j AS jaccard FROM ("
+    "SELECT x.doc_id AS a, y.doc_id AS b, "
+    "len(list_intersect(x.s, y.s))::DOUBLE / "
+    "len(list_distinct(list_concat(x.s, y.s))) AS j "
+    "FROM u x JOIN u y ON x.doc_id < y.doc_id) WHERE j >= 0.3 ORDER BY a, b"
+)
+
+
 def oracle_sql() -> dict[str, str]:
+    import microfts_ray.oracle_ops as _ops
+
+    _LANG_ID_SQL = _lang_marker_sql()
     return {
         "doc_line_explode": (
             "SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) AS line_no, "
@@ -409,4 +460,18 @@ def oracle_sql() -> dict[str, str]:
             "e.vec_id) AS rank, e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0 "
             "ORDER BY rank LIMIT 10"
         ),
+        "lang_id": _LANG_ID_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # engine-specific operators: fixture oracles — an INDEPENDENT
+        # scalar recomputation (original per-row bigint/blake2b
+        # definitions, microfts_ray/oracle_ops.py) rendered as a
+        # DuckDB VALUES table, so the driver's hash gate covers them
+        "simhash": _ops.simhash_fixture_sql(),
+        "fingerprint": _ops.fingerprint_fixture_sql(),
+        "minhash_near_dup": _ops.minhash_fixture_sql(),
+        "bm25_topk": _ops.bm25_fixture_sql(),
+        "fuzzy_search": _ops.fuzzy_fixture_sql(),
+        "gram_candidates": _ops.candidates_fixture_sql(),
+        "ann_lsh": _ops.ann_lsh_fixture_sql(),
+        "embedding_neardup_exact": _ops.embedding_exact_fixture_sql(),
     }

@@ -391,6 +391,49 @@ def ngram_jaccard_pairs(
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def embedding_pairs_exact(
+    ds: ray.data.Dataset, *, threshold: float = 0.95
+) -> ray.data.Dataset:
+    """EXACT embedding-cosine near-dup pairs (a < b, cosine >=
+    threshold): the brute-force complement to the LSH variant.
+
+    Distributed block-vs-all matmul: the full normalized matrix is
+    broadcast ONCE via ray.put (read in every task, never re-shipped
+    per batch), each map_batches task multiplies its batch against it
+    and emits its rows' qualifying pairs with a < b. O(n^2/p) compute
+    per task, no shuffle. Valid while the normalized matrix fits in
+    the object store (n*d*8 bytes); beyond that, use
+    embedding_neardup_pairs (LSH buckets)."""
+    import ray as _ray
+
+    from .ann import _as_matrix
+
+    full = ds.take_all()  # (vec_id, embedding) — the broadcast side
+    ids_all = np.array([r["vec_id"] for r in full], dtype=np.int64)
+    embs_all = np.array([r["embedding"] for r in full], dtype=np.float64)
+    norms = np.linalg.norm(embs_all, axis=1)
+    norms[norms == 0] = 1.0
+    unit_all = embs_all / norms[:, None]
+    ref = _ray.put((ids_all, unit_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        bids = batch["vec_id"].to_numpy().astype(np.int64, copy=False)
+        embs = _as_matrix(batch["embedding"])
+        n = np.linalg.norm(embs, axis=1)
+        n[n == 0] = 1.0
+        aids, aunit = _ray.get(ref)
+        sims = (embs / n[:, None]) @ aunit.T
+        keep = (sims >= threshold) & (bids[:, None] < aids[None, :])
+        bi, aj = np.nonzero(keep)
+        return pa.table(
+            {"a": pa.array(bids[bi], pa.int64()),
+             "b": pa.array(aids[aj], pa.int64()),
+             "cosine": pa.array(sims[bi, aj], pa.float64())}
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def embedding_neardup_pairs(
     ds: ray.data.Dataset,
     *,

@@ -120,6 +120,27 @@ def test_cosine_lsh_finds_planted_neighbor():
     assert got["vec_id"].iloc[0] == 1  # the planted near-dup
 
 
+def test_embedding_pairs_exact_vs_bruteforce():
+    from microfts_ray.pipelines.dedup import embedding_pairs_exact
+
+    tbl, v = _vec_table()
+    ds = ray.data.from_arrow(tbl)
+    pairs = embedding_pairs_exact(ds, threshold=0.9).to_pandas()
+    unit = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    want = {
+        (i, j): sims[i, j]
+        for i in range(len(v))
+        for j in range(i + 1, len(v))
+        if sims[i, j] >= 0.9
+    }
+    got = {(a, b): c for a, b, c in zip(pairs["a"], pairs["b"], pairs["cosine"])}
+    assert set(got) == set(want)
+    assert {(0, 1), (10, 11), (20, 21)} <= set(got)
+    for k in got:
+        assert got[k] == pytest.approx(want[k])
+
+
 def test_embedding_neardup_pairs():
     tbl, v = _vec_table()
     ds = ray.data.from_arrow(tbl)
