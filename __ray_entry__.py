@@ -74,23 +74,28 @@ def _table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data
 # query implementations
 # ---------------------------------------------------------------------------
 
-def q_doc_line_explode(sf_dir: str) -> pa.Table:
-    """Line chunker (SURVEY §2.2 M3) as a flat explode."""
+def q_doc_line_explode(sf_dir: str) -> Any:
+    """Line chunker (SURVEY §2.2 M3) as a flat explode — fully
+    vectorized (pc.split_pattern + list_flatten) and streamed (the
+    Dataset is returned, never materialized on the driver)."""
 
     def explode(b: pa.Table) -> pa.Table:
-        doc, ln, line = [], [], []
-        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            for i, x in enumerate(t.split("\n")):
-                doc.append(d)
-                ln.append(i + 1)
-                line.append(x)
+        import pyarrow.compute as pc
+
+        splits = pc.split_pattern(b["text"], "\n")
+        lens = pc.list_value_length(splits).to_numpy().astype(np.int64)
+        doc = np.repeat(b["doc_id"].to_numpy(), lens)
+        offs = np.repeat(np.cumsum(lens) - lens, lens)
+        line_no = np.arange(doc.size, dtype=np.int64) - offs + 1
+        if isinstance(splits, pa.ChunkedArray):
+            splits = splits.combine_chunks()
         return pa.table(
-            {"doc_id": pa.array(doc, pa.int64()), "line_no": pa.array(ln, pa.int64()),
-             "line": pa.array(line, pa.string())}
+            {"doc_id": pa.array(doc, pa.int64()),
+             "line_no": pa.array(line_no, pa.int64()),
+             "line": pc.list_flatten(splits)}
         )
 
-    ds = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
-    return pa.Table.from_pylist(ds.take_all())
+    return _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
 
 
 def q_search_and(sf_dir: str) -> pa.Table:
@@ -102,23 +107,39 @@ def q_search_and(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
 
-def q_search_count_by_lang(sf_dir: str) -> pa.Table:
-    """Search hits aggregated by doc language."""
+def q_search_count_by_lang(sf_dir: str) -> Any:
+    """Search hits aggregated by doc language: the hit-id set is
+    broadcast once (ray.put), each batch filters vectorized, one
+    groupby(lang) counts — no driver-side join."""
+    import ray as _ray
+
     from microfts_ray.pipelines.docsearch import get_reader, hit_doc_ids
 
     hits = get_reader(sf_dir).search("spark")
-    ids = set(hit_doc_ids(hits))
-    t = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    ids_ref = _ray.put(
+        np.unique(np.array(hit_doc_ids(hits), dtype=np.int64))
     )
-    counts: dict[str, int] = {}
-    for d, lang in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()):
-        if d in ids:
-            counts[lang] = counts.get(lang, 0) + 1
-    langs = sorted(counts)
-    return pa.table(
-        {"lang": pa.array(langs), "n_docs": pa.array([counts[l] for l in langs], pa.int64())}
+
+    def keep_hits(b: pa.Table) -> pa.Table:
+        import ray as _r
+
+        wanted = _r.get(ids_ref)
+        m = np.isin(b["doc_id"].to_numpy(), wanted)
+        return b.filter(pa.array(m)).select(["lang"])
+
+    counts = (
+        _table(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(keep_hits, batch_format="pyarrow")
+        .groupby("lang")
+        .count()
     )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": b["lang"], "n_docs": b["count()"].cast(pa.int64())}
+        )
+
+    return counts.map_batches(rename, batch_format="pyarrow")
 
 
 def q_term_df(sf_dir: str) -> Any:

@@ -48,6 +48,37 @@ _EMPTY_RUN = PostingRun(
 )
 
 
+class _DocMeta:
+    """Doc metadata as doc_id-sorted parallel arrays: numpy ids for
+    searchsorted lookup, Arrow string columns (zero Python objects
+    held) read lazily per lookup."""
+
+    __slots__ = ("ids", "src_rg", "repo", "path", "commit", "src_path")
+
+    def __init__(self, ids, src_rg, repo, path, commit, src_path):
+        self.ids = ids
+        self.src_rg = src_rg
+        self.repo = repo
+        self.path = path
+        self.commit = commit
+        self.src_path = src_path
+
+    def index_of(self, doc_id: int) -> int:
+        i = int(np.searchsorted(self.ids, np.uint64(doc_id)))
+        if i >= self.ids.size or self.ids[i] != np.uint64(doc_id):
+            raise KeyError(doc_id)
+        return i
+
+    def indices_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        """Vectorized lookup; raises KeyError on any miss."""
+        q = doc_ids.astype(np.uint64, copy=False)
+        idx = np.searchsorted(self.ids, q)
+        idx = np.minimum(idx, self.ids.size - 1)
+        if not (self.ids[idx] == q).all():
+            raise KeyError("unknown doc_id in lookup")
+        return idx
+
+
 class _Segment:
     """One build partition's terms/docs files + lazy caches."""
 
@@ -131,7 +162,7 @@ class IndexReader:
         self.n_docs = g["n_docs"]
         self.avgdl = g["sum_dl"] / g["n_chunks"] if g["n_chunks"] else 0.0
         self.doc_avgdl = g["sum_dl"] / g["n_docs"] if g["n_docs"] else 0.0
-        self._doc_meta: dict[int, tuple] | None = None
+        self._doc_meta: _DocMeta | None = None
         self._content_cache: dict[int, str] = {}
         # decoded-run LRU (hot grams dominate query cost)
         self._run_cache: dict[int, PostingRun] = {}
@@ -384,30 +415,44 @@ class IndexReader:
         for rel, si in mf.docs_sources(self.manifest):
             yield si, pq.read_table(os.path.join(self.index_dir, rel))
 
-    def _load_doc_meta(self) -> dict[int, tuple]:
+    def _load_doc_meta(self) -> "_DocMeta":
+        """Doc metadata as doc_id-sorted ARRAYS (numpy ids + aligned
+        Arrow string columns), looked up by searchsorted — no
+        O(n_docs) Python dict of tuples per reader. Strings stay in
+        Arrow buffers; only requested ids pay an .as_py(). At true
+        scale the same layout loads per doc-id range on demand (the
+        sidecars are doc-id sorted parquet), so a serving shard never
+        holds metadata outside its range."""
         if self._doc_meta is None:
-            meta = {}
+            tables = []
             for _si, d in self._docs_tables():
-                src_paths = (
-                    d["src_path"].to_pylist()
-                    if "src_path" in d.column_names
-                    else [""] * d.num_rows
+                if "src_path" not in d.column_names:
+                    d = d.append_column(
+                        "src_path", pa.array([""] * d.num_rows, pa.string())
+                    )
+                tables.append(
+                    d.select(["doc_id", "repo", "path", "commit", "src_rg", "src_path"])
                 )
-                for doc_id, repo, path, commit, src_rg, src_path in zip(
-                    d["doc_id"].to_numpy(),
-                    d["repo"].to_pylist(),
-                    d["path"].to_pylist(),
-                    d["commit"].to_pylist(),
-                    d["src_rg"].to_numpy(),
-                    src_paths,
-                ):
-                    meta[int(doc_id)] = (src_path, repo, path, commit, int(src_rg))
-            self._doc_meta = meta
+            t = pa.concat_tables(tables)
+            ids = t["doc_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            t = t.take(pa.array(order))
+            self._doc_meta = _DocMeta(
+                ids[order].astype(np.uint64),
+                t["src_rg"].to_numpy().astype(np.int64),
+                t.column("repo").combine_chunks(),
+                t.column("path").combine_chunks(),
+                t.column("commit").combine_chunks(),
+                t.column("src_path").combine_chunks(),
+            )
         return self._doc_meta
 
     def doc_group(self, doc_id: int) -> str:
-        _, repo, path, commit, _ = self._load_doc_meta()[doc_id]
-        return group_name(repo, path, commit)
+        m = self._load_doc_meta()
+        i = m.index_of(doc_id)
+        return group_name(
+            m.repo[i].as_py(), m.path[i].as_py(), m.commit[i].as_py()
+        )
 
     def chunk_texts(self, doc_ids: np.ndarray, chunk_ids: np.ndarray) -> list[str]:
         """J3: re-read candidate docs' content from the SOURCE parquet
@@ -418,7 +463,9 @@ class IndexReader:
         for d in set(int(x) for x in doc_ids):
             if d in self._content_cache:
                 continue
-            src_path, _, _, _, src_rg = meta[d]
+            i = meta.index_of(d)
+            src_rg = int(meta.src_rg[i])
+            src_path = meta.src_path[i].as_py()
             if src_rg < 0 or not src_path:  # custom chunk: no source text
                 self._content_cache[d] = ""
                 continue
@@ -855,7 +902,7 @@ class IndexReader:
     def bm25_topk_docs(self, query: str, k: int = 10) -> list[dict]:
         """Doc-level BM25 (tf summed per doc, dl = doc total)."""
         grams = sorted(gram_set(query))
-        doc_dl = self._doc_dl()
+        dl_ids, dl_vals = self._doc_dl()
         docs, contribs = [], []
         for g in grams:
             run = self.term_postings(g)
@@ -864,7 +911,8 @@ class IndexReader:
             dsum, (tfsum,) = group_sum(run.doc_ids, run.tfs.astype(np.float64))
             df = dsum.size
             w = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
-            dl = np.array([doc_dl[int(x)] for x in dsum], dtype=np.float64)
+            # sorted-array lookup (dsum is sorted by group_sum)
+            dl = dl_vals[np.searchsorted(dl_ids, dsum)].astype(np.float64)
             norm = K1 * (
                 1 - B + B * (dl / self.doc_avgdl if self.doc_avgdl else dl * 0.0)
             )
@@ -893,13 +941,18 @@ class IndexReader:
             for i, j in enumerate(top)
         ]
 
-    def _doc_dl(self) -> dict[int, int]:
+    def _doc_dl(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted doc_ids, aligned sum_dl) numpy pair — searchsorted
+        lookups, no O(n_docs) Python dict."""
         if not hasattr(self, "_doc_dl_cache"):
-            cache = {}
+            ids, dls = [], []
             for _si, d in self._docs_tables():
-                for did, sdl in zip(d["doc_id"].to_numpy(), d["sum_dl"].to_numpy()):
-                    cache[int(did)] = int(sdl)
-            self._doc_dl_cache = cache
+                ids.append(d["doc_id"].to_numpy().astype(np.uint64))
+                dls.append(d["sum_dl"].to_numpy().astype(np.int64))
+            a = np.concatenate(ids) if ids else np.empty(0, np.uint64)
+            v = np.concatenate(dls) if dls else np.empty(0, np.int64)
+            order = np.argsort(a, kind="stable")
+            self._doc_dl_cache = (a[order], v[order])
         return self._doc_dl_cache
 
 
