@@ -156,22 +156,24 @@ def decode_terms_table(tbl, dict_resolver=None) -> dict:
     base = np.zeros(ns.size, dtype=np.uint64)
     base[nz] = cs[row_starts[:-1][nz]] - gaps[row_starts[:-1][nz]]
     doc = cs - np.repeat(base, ns)
-    # rank-encoded rows: translate dictionary ranks -> real doc ids
+    # rank-encoded rows: translate dictionary ranks -> real doc ids.
+    # Entries are row-contiguous and each row has ONE dict, so the
+    # translation is a per-row slice gather — never a full-length
+    # boolean mask per distinct dict (that was O(rows x entries)).
     if "dict" in tbl.column_names:
         dict_ids = tbl["dict"].to_pylist()
-        uniq = {d for d in dict_ids if d}
-        if uniq:
+        if any(dict_ids):
             if dict_resolver is None:
                 raise ValueError(
                     "table holds rank-encoded doc streams; a dict_resolver is required"
                 )
-            row_of = np.repeat(np.arange(len(dict_ids), dtype=np.int64), ns)
-            dict_arr = np.array(dict_ids, dtype=object)
-            for did in uniq:
-                rows_mask = dict_arr == did
-                emask = rows_mask[row_of]
-                lookup = dict_resolver(did)
-                doc[emask] = lookup[doc[emask].astype(np.int64)]
+            for i, did in enumerate(dict_ids):
+                if not did:
+                    continue
+                s, e = int(row_starts[i]), int(row_starts[i + 1])
+                if e > s:
+                    lookup = dict_resolver(did)
+                    doc[s:e] = lookup[doc[s:e].astype(np.int64)]
     terms = np.repeat(tbl["term"].to_numpy().astype(np.uint16), ns)
     return {
         "term": terms,

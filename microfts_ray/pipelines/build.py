@@ -315,8 +315,11 @@ def build_partition(part: dict, index_dir: str, chunker: str = "lines") -> dict:
         # small row groups + stats: term-range pruning for point
         # lookups AND for the merge stage (a merge shard reads ~1/M of
         # each segment instead of whole row groups)
-        comp = "lz4" if name == "terms" else "zstd"
-        pq.write_table(out_tbl, tmp, row_group_size=512, compression=comp)
+        # zstd-3 over lz4: ~40% smaller terms files for ~0.05s/part
+        # extra compress — on this deployment's cache-starved slow
+        # disk, bytes-on-disk directly bound merge and warmup reads
+        pq.write_table(out_tbl, tmp, row_group_size=512, compression="zstd",
+                       compression_level=3)
         os.replace(tmp, os.path.join(seg_dir, f"{name}.parquet"))
 
     entry = {

@@ -149,7 +149,8 @@ def write_shard_table(
     out_dir = os.path.join(index_dir, "merged", f"shard={shard:04d}")
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, f".terms.{uuid.uuid4().hex[:8]}.tmp")
-    pq.write_table(out_tbl, tmp, row_group_size=512, compression="lz4")
+    pq.write_table(out_tbl, tmp, row_group_size=512, compression="zstd",
+                   compression_level=3)
     os.replace(tmp, os.path.join(out_dir, "terms.parquet"))
     entry = {
         "pid": pid,
@@ -185,7 +186,8 @@ def stack_segments(index_dir: str, gid: int, paths: list[str]) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, f"stack-{gid:04d}.parquet")
     tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
-    pq.write_table(tbl, tmp, row_group_size=512, compression="lz4")
+    pq.write_table(tbl, tmp, row_group_size=512, compression="zstd",
+                   compression_level=3)
     os.replace(tmp, out)
     entry = {
         "pid": pid,

@@ -102,28 +102,32 @@ class _Segment:
                 for i in range(self._pf.metadata.num_row_groups)
             ]
         )
-        self._row_cache: dict[int, dict] = {}
+        self._slice_cache: dict[int, pa.Table | None] = {}
         self._docs_tbl: pa.Table | None = None
 
-    def term_rows(self, term: int) -> list[dict]:
-        """All posting-run rows for a term (rewrite-merged shards hold
-        one; stack-merged shards / salted shuffle segments may hold
-        many). Row groups in the span are read once each."""
-        if term in self._row_cache:
-            return self._row_cache[term]
+    def term_slice(self, term: int) -> pa.Table | None:
+        """All posting-run rows for a term as an ARROW SLICE (no
+        Python-bytes copies; rewrite-merged shards hold one row,
+        stack-merged shards / salted shuffle segments may hold many).
+        Row groups in the span are read once each."""
+        if term in self._slice_cache:
+            return self._slice_cache[term]
         lo = int(np.searchsorted(self.terms, term, side="left"))
         hi = int(np.searchsorted(self.terms, term, side="right"))
         if hi == lo:
-            self._row_cache[term] = []
-            return []
+            self._slice_cache[term] = None
+            return None
         rg_lo = int(np.searchsorted(self._rg_offsets, lo, side="right") - 1)
         rg_hi = int(np.searchsorted(self._rg_offsets, hi - 1, side="right") - 1)
         tbl = self._pf.read_row_groups(list(range(rg_lo, rg_hi + 1)))
         base = int(self._rg_offsets[rg_lo])
         sl = tbl.slice(lo - base, hi - lo)
-        rows = sl.to_pylist()
-        self._row_cache[term] = rows
-        return rows
+        self._slice_cache[term] = sl
+        return sl
+
+    def term_rows(self, term: int) -> list[dict]:
+        sl = self.term_slice(term)
+        return sl.to_pylist() if sl is not None else []
 
     def term_row(self, term: int) -> dict | None:
         rows = self.term_rows(term)
@@ -172,6 +176,16 @@ class IndexReader:
         self._dense: tuple[np.ndarray, int] | None = None
         self._dense_keys: dict[int, np.ndarray] = {}
         self._contrib_cache: dict[int, np.ndarray] = {}
+        # dense per-term score vectors (hot-term fast path)
+        self._vec_cache: dict[int, np.ndarray] = {}
+        self._vec_bytes = 0
+        self._vec_min = 300_000  # build a vector when a term has >= this many postings
+        self._vec_budget = 6 << 30  # bytes of dense vectors to hold
+        # per-term (sorted dense keys, aligned f64 contribs): the warm
+        # representation — powers dense scoring, counting intersection
+        # and the exact-rescore gather without holding raw runs
+        self._sorted_kc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._term_len_cache: dict[int, int] = {}
         # tombstones (pipelines/update.py): docs deleted but not yet
         # compacted away; every query path anti-joins them (X4,
         # fts-lmdb.go:1151-1162)
@@ -216,16 +230,48 @@ class IndexReader:
         return arr
 
     def term_runs(self, term: int) -> list[PostingRun]:
+        """Decoded PostingRuns for a term: per-row decode over
+        ZERO-COPY Arrow buffer views (no Python-bytes copies — on this
+        memory-bus-bound path every avoided copy counts)."""
+        from ..functions.varint import decode_array_split
+
         runs = []
         for seg in self._term_sources(term):
-            for row in seg.term_rows(term):
-                run = decode_run(row)
-                did = row.get("dict", "")
-                if did:
-                    run.doc_ids = self._resolve_dict(did)[
-                        run.doc_ids.astype(np.int64)
-                    ]
-                runs.append(run)
+            sl = seg.term_slice(term)
+            if sl is None or sl.num_rows == 0:
+                continue
+            ns = sl["n"].to_numpy()
+            dict_ids = (
+                sl["dict"].to_pylist() if "dict" in sl.column_names
+                else [""] * sl.num_rows
+            )
+            views = {}
+            for name in ("doc_blob", "chunk_blob", "tf_blob", "dl_blob"):
+                col = sl[name]
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                    arr.offset : arr.offset + len(arr) + 1
+                ]
+                data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+                views[name] = (data, offs)
+            for i in range(sl.num_rows):
+                n = int(ns[i])
+                if n == 0:
+                    continue
+
+                def stream(name: str) -> np.ndarray:
+                    data, offs = views[name]
+                    return decode_array_split(data[offs[i] : offs[i + 1]], n)
+
+                doc = np.cumsum(stream("doc_blob"), dtype=np.uint64)
+                if dict_ids[i]:
+                    doc = self._resolve_dict(dict_ids[i])[doc.astype(np.int64)]
+                runs.append(
+                    PostingRun(
+                        doc, stream("chunk_blob"), stream("tf_blob"),
+                        stream("dl_blob"),
+                    )
+                )
         return runs
 
     def term_postings(self, term: int) -> PostingRun:
@@ -307,38 +353,88 @@ class IndexReader:
             pkg_root = _pkg_root()
             index_dir = self.index_dir
 
+            # SHARD-ALIGNED, BANDWIDTH-MATCHED tasks. Two measured
+            # facts drive this shape: (1) hot terms interleave across
+            # shard files, so striding tasks over the sorted term list
+            # re-reads the same row groups many times — tasks must
+            # follow term ranges; (2) this class of box saturates its
+            # memory bus at ~1.3x single-thread bandwidth, so decode
+            # parallelism beyond ~6 workers only adds contention
+            # (32 workers measured SLOWER than 6).
+            n_tasks = min(6, max(1, len(todo) // 2))
+            if self._shard_bounds is not None:
+                terms_arr = np.array(todo, dtype=np.int64)
+                shard_of = (
+                    np.searchsorted(self._shard_bounds, terms_arr, side="right") - 1
+                )
+                per_shard = [
+                    terms_arr[shard_of == s].tolist()
+                    for s in range(self.n_shards)
+                ]
+                # contiguous shard groups -> n_tasks chunks
+                chunks = [[] for _ in range(n_tasks)]
+                for s, terms in enumerate(per_shard):
+                    chunks[s * n_tasks // max(1, len(per_shard))].extend(terms)
+            else:
+                chunks = [todo[i::n_tasks] for i in range(n_tasks)]
+
+            # broadcast the dense space: each task re-deriving it
+            # re-reads every docs sidecar from (cold) disk
+            dense_ref = _ray.put(self._dense if use_dense else None)
+
             def warm_task(terms: list[int]) -> dict:
                 import sys
 
                 if pkg_root not in sys.path:
                     sys.path.insert(0, pkg_root)
+                import numpy as _np
+
                 from microfts_ray.pipelines.query import IndexReader as IR
 
                 r = IR(index_dir)
+                dense_val = _ray.get(dense_ref)
+                if dense_val is not None:
+                    r._dense = dense_val
                 dense = r._dense_space() is not None
                 out = {}
                 for t in terms:
                     run = r.term_postings(t)
                     if not len(run):
                         continue
-                    key = r._dense_key(t, run) if dense else None
-                    contrib = r._term_contrib(t, run) if dense else None
-                    out[t] = (run.doc_ids, run.chunk_ids, run.tfs, run.dls,
-                              key, contrib)
+                    if dense:
+                        # ship ONLY (sorted keys, aligned contribs):
+                        # 16B/entry instead of the 48B/entry of full
+                        # runs+keys+contrib — every query kernel that
+                        # touches a warm term (dense scoring, counting
+                        # intersection, exact rescore) works off this
+                        # pair; raw runs decode lazily if ever needed
+                        key = r._dense_key(t, run)
+                        contrib = r._term_contrib(t, run)
+                        order = _np.argsort(key, kind="stable")
+                        out[t] = (key[order], contrib[order], len(run))
+                    else:
+                        out[t] = (run.doc_ids, run.chunk_ids, run.tfs, run.dls)
                 return out
 
             remote = _ray.remote(num_cpus=1)(warm_task)
-            n_tasks = min(16, max(1, len(todo) // 2))
-            chunks = [todo[i::n_tasks] for i in range(n_tasks)]
             for fut in [remote.remote(c) for c in chunks if c]:
-                for t, (d, c, tf, dl, key, contrib) in _ray.get(fut).items():
-                    run = PostingRun(d, c, tf, dl)
-                    self._run_cache[t] = run
-                    self._run_cache_entries += len(run)
-                    if key is not None:
-                        self._dense_keys[t] = key
-                    if contrib is not None:
-                        self._contrib_cache[t] = contrib
+                for t, payload in _ray.get(fut).items():
+                    if use_dense:
+                        keys_s, contrib_s, n = payload
+                        self._sorted_kc[t] = (keys_s, contrib_s)
+                        self._term_len_cache[t] = n
+                    else:
+                        d, c, tf, dl = payload
+                        run = PostingRun(d, c, tf, dl)
+                        self._run_cache[t] = run
+                        self._run_cache_entries += len(run)
+            if use_dense:
+                # driver-side float32 vector builds: scatters at SORTED
+                # keys are (nearly) sequential writes — cheap at full
+                # single-thread bandwidth; hottest first, budget-capped
+                for t in todo:
+                    if totals.get(t, 0) >= self._vec_min:
+                        self._dense_vec(t)
             return len(todo)
 
         def warm_one(t: int) -> None:
@@ -376,8 +472,7 @@ class IndexReader:
             K = int(base[-1])
             count = np.zeros(K, dtype=np.uint8 if len(sized) < 256 else np.uint16)
             for _, g in sized:
-                run = self.term_postings(g)
-                count[self._dense_key(g, run)] += 1
+                count[self._term_keys(g)] += 1
             hit = np.nonzero(count == len(sized))[0]
             idx = np.searchsorted(base, hit, side="right") - 1
             live = self._live_mask(doc_ids[idx])
@@ -454,6 +549,25 @@ class IndexReader:
             m.repo[i].as_py(), m.path[i].as_py(), m.commit[i].as_py()
         )
 
+    def doc_groups(self, doc_ids: np.ndarray) -> list[str]:
+        """Vectorized group names for a doc_id array: one searchsorted
+        + one Arrow binary_join_element_wise over the whole batch
+        (hit lists run to millions of rows — per-row .as_py() there
+        was a measured multi-second tax)."""
+        import pyarrow.compute as pc
+
+        m = self._load_doc_meta()
+        if len(doc_ids) == 0:
+            return []
+        idx = m.indices_of(np.asarray(doc_ids, dtype=np.uint64))
+        ii = pa.array(idx)
+        joined = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(m.repo.take(ii), m.path.take(ii), "/"),
+            m.commit.take(ii),
+            "@",
+        )  # == group_name(repo, path, commit) per row
+        return joined.to_pylist()
+
     def chunk_texts(self, doc_ids: np.ndarray, chunk_ids: np.ndarray) -> list[str]:
         """J3: re-read candidate docs' content from the SOURCE parquet
         (the reference re-reads source files, README.org:213) — only
@@ -521,8 +635,13 @@ class IndexReader:
                     if int(did) in wset:
                         self._content_cache[int(did)] = tbl["content"][i].as_py()
         out = []
+        lines_by_doc: dict[int, list[str]] = {}  # split once per doc, not per hit
         for d, c in zip(doc_ids, chunk_ids):
-            lines = split_lines(self._content_cache[int(d)])
+            di = int(d)
+            lines = lines_by_doc.get(di)
+            if lines is None:
+                lines = split_lines(self._content_cache[di])
+                lines_by_doc[di] = lines
             out.append(lines[int(c)] if int(c) < len(lines) else "")
         return out
 
@@ -552,9 +671,10 @@ class IndexReader:
         # truncated to limit_per_group BEFORE verification — a gram
         # false positive in an early chunk consumes a slot even though
         # it fails verify.
+        groups = self.doc_groups(cand.doc_ids)
         triples = sorted(
-            (self.doc_group(int(d)), int(d), int(c))
-            for d, c in zip(cand.doc_ids, cand.chunk_ids)
+            zip(groups, (int(d) for d in cand.doc_ids),
+                (int(c) for c in cand.chunk_ids))
         )
         triples.sort(key=lambda t: (t[0], t[2]))
         if limit_per_group is not None:
@@ -600,10 +720,10 @@ class IndexReader:
             K = int(base[-1])
             count = np.zeros(K, dtype=np.uint16)
             for g in grams:
-                run = self.term_postings(g)
-                if len(run) == 0:
+                keys = self._term_keys(g)
+                if keys.size == 0:
                     return []
-                count[self._dense_key(g, run)] += 1
+                count[keys] += 1
             hit = np.nonzero(count)[0]
             n = count[hit].astype(np.float64)
             idx = np.searchsorted(base, hit, side="right") - 1
@@ -627,16 +747,17 @@ class IndexReader:
         keep = pct >= threshold
         d, c, pct = d[keep], c[keep], pct[keep]
         texts = self.chunk_texts(d, c)
+        groups = self.doc_groups(d)
         rows = [
             {
-                "group": self.doc_group(int(dd)),
+                "group": grp,
                 "doc_id": int(dd),
                 "chunk_id": int(cc),
                 "line": int(cc) + 1,
                 "percent": float(p) * 100.0,
                 "text": t,
             }
-            for dd, cc, p, t in zip(d, c, pct, texts)
+            for grp, dd, cc, p, t in zip(groups, d, c, pct, texts)
         ]
         if sort_all:
             rows.sort(key=lambda r: (r["percent"], r["group"], r["chunk_id"]))
@@ -764,30 +885,96 @@ class IndexReader:
                 self._dense_keys[g] = key
         return key
 
-    def _bm25_dense(self, grams: list[int]):
-        """Union scoring via ONE dense bincount: keys/weights are
-        concatenated in ascending term order and bincount's C loop
-        adds sequentially in input order, so per-pair accumulation
-        order (and therefore every float) is identical to the
-        oracle's scalar loop."""
-        doc_ids, base = self._dense
-        K = int(base[-1])
-        keys, weights = [], []
-        for g in grams:  # ascending
+    def _sorted_keys(self, g: int) -> tuple[np.ndarray, np.ndarray] | None:
+        """(sorted dense keys, aligned exact f64 contribs) for a term.
+        Keys are a concatenation of per-run ASCENDING sequences, so
+        the stable argsort is effectively a k-way merge (near-linear).
+        Cached; powers the exact-rescore gather."""
+        sk = self._sorted_kc.get(g)
+        if sk is None:
             run = self.term_postings(g)
             if len(run) == 0:
+                return None
+            keys = self._dense_key(g, run)
+            contrib = self._term_contrib(g, run)
+            order = np.argsort(keys, kind="stable")
+            sk = (keys[order], contrib[order])
+            self._sorted_kc[g] = sk
+            self._term_len_cache[g] = len(run)
+        return sk
+
+    def _term_keys(self, g: int) -> np.ndarray:
+        """Dense keys for a term (any order — used by order-
+        independent counting kernels); prefers the warm sorted form."""
+        sk = self._sorted_kc.get(g)
+        if sk is not None:
+            return sk[0]
+        run = self.term_postings(g)
+        return self._dense_key(g, run)
+
+    def _rescore_exact_dense(self, grams: list[int], kc: np.ndarray) -> np.ndarray:
+        """Exact float64 scores for candidate dense keys: ascending-
+        term sequential accumulation via searchsorted gathers against
+        each term's sorted key->contrib arrays (oracle float order)."""
+        score = np.zeros(kc.size, dtype=np.float64)
+        for g in grams:  # ascending
+            sk = self._sorted_keys(g)
+            if sk is None:
                 continue
-            keys.append(self._dense_key(g, run))
-            weights.append(self._term_contrib(g, run))
-        if not keys:
-            z = np.empty(0, dtype=np.int64)
-            return z, np.empty(0, dtype=np.float64), doc_ids, base
-        acc = np.bincount(
-            np.concatenate(keys), weights=np.concatenate(weights), minlength=K
-        )
-        hit = np.nonzero(acc)[0]
-        score = acc[hit]
-        return hit, score, doc_ids, base
+            keys_s, contrib_s = sk
+            idx = np.searchsorted(keys_s, kc)
+            idx = np.minimum(idx, keys_s.size - 1)
+            hit = keys_s[idx] == kc
+            score[hit] += contrib_s[idx[hit]]
+        return score
+
+    def _dense_vec(self, g: int) -> np.ndarray | None:
+        """Cached float32 dense score vector for a hot term: contribs
+        scattered at the term's dense keys (keys are UNIQUE per term).
+        Vectors drive CANDIDATE SELECTION only — final scores come
+        from an exact float64 rescore — so float32 halves the memory
+        traffic of the query-time adds on this bandwidth-bound box."""
+        vec = self._vec_cache.get(g)
+        if vec is None:
+            sk = self._sorted_keys(g)
+            if sk is None or sk[0].size < self._vec_min:
+                return None
+            K = int(self._dense[1][-1])
+            if self._vec_bytes + K * 4 > self._vec_budget:
+                return None
+            vec = np.zeros(K, dtype=np.float32)
+            vec[sk[0]] = sk[1]  # ascending keys: near-sequential writes
+            self._vec_cache[g] = vec
+            self._vec_bytes += vec.nbytes
+        return vec
+
+    def _bm25_dense(self, grams: list[int]):
+        """Approximate union scoring over the dense chunk-key space
+        for candidate selection: one float32 accumulator, per-term
+        adds in ascending order (a term's keys are unique, so
+        `acc[keys] += w` is one add per pair per term). Hot terms add
+        their cached dense vector (sequential memory). The result is
+        only used to pick a candidate set with a slack margin that
+        provably covers the float32 error bound; exact float64
+        rescoring restores oracle-identical scores."""
+        doc_ids, base = self._dense
+        K = int(base[-1])
+        acc = np.zeros(K, dtype=np.float32)
+        any_term = False
+        for g in grams:  # ascending
+            vec = self._dense_vec(g)
+            if vec is not None:
+                acc += vec
+                any_term = True
+                continue
+            sk = self._sorted_keys(g)
+            if sk is None:
+                continue
+            acc[sk[0]] += sk[1].astype(np.float32)
+            any_term = True
+        if not any_term:
+            return None, doc_ids, base
+        return acc, doc_ids, base
 
     def _term_contrib(self, g: int, run: PostingRun) -> np.ndarray:
         contrib = self._contrib_cache.get(g)
@@ -798,23 +985,48 @@ class IndexReader:
         return contrib
 
     def _dense_topk(self, grams: list[int], k: int):
-        """Dense scoring + tie-complete top-k preselection (avoids a
-        full sort of the union: only score >= kth-largest survive)."""
-        hit, score, doc_ids, base = self._bm25_dense(grams)
-
-        def doc_chunk(keys: np.ndarray):
-            idx = np.searchsorted(base, keys, side="right") - 1
-            return doc_ids[idx], (keys - base[idx]).astype(np.uint64)
-
+        """Approximate dense scoring -> slack-margin candidate set ->
+        EXACT float64 rescore. The slack covers the worst-case float32
+        accumulation error (m terms x max contrib x 2^-23 plus the
+        representation error of each addend), so the candidate set
+        provably contains every pair whose exact score reaches the
+        true kth — returned scores/ranks are oracle-identical."""
+        acc, doc_ids, base = self._bm25_dense(grams)
+        if acc is None:
+            e = np.empty(0, dtype=np.uint64)
+            return e, e, np.empty(0, dtype=np.float64)
         if self._tombstones.size:
-            live = self._live_mask(doc_chunk(hit)[0])
-            hit, score = hit[live], score[live]
+            # zero the tombstoned docs' key ranges (few tombstones)
+            pos = np.searchsorted(doc_ids, self._tombstones)
+            for p, t in zip(pos, self._tombstones):
+                if p < doc_ids.size and doc_ids[p] == t:
+                    acc[int(base[p]) : int(base[p + 1])] = 0.0
+        K = acc.size
+        if K > k:
+            kth = float(np.partition(acc, K - k)[K - k])
+        else:
+            kth = 0.0
+        # float32 error bound: standard summation bound |err| <=
+        # (m-1)*eps*sum|x_i| <= m^2*eps*max_c, doubled for the f32
+        # representation rounding of each addend, doubled again for
+        # margin (still ~1e-3 absolute at worst — invisible next to
+        # real score gaps, but a PROOF, not a heuristic)
+        m = len(grams)
+        max_c = max(
+            (self._idf(self.chunk_df(g)) * (K1 + 1) for g in grams), default=0.0
+        )
+        slack = 4.0 * m * m * max_c * 2.0**-23 + 1e-12
+        if kth > slack:
+            hit = np.nonzero(acc >= np.float32(kth - slack))[0]
+        else:
+            hit = np.nonzero(acc)[0]
+        score = self._rescore_exact_dense(grams, hit)
         if score.size > k:
-            kth = -np.partition(-score, k - 1)[k - 1]
-            keep = score >= kth  # keep ALL ties at the boundary
+            kth_exact = -np.partition(-score, k - 1)[k - 1]
+            keep = score >= kth_exact  # all boundary ties kept
             hit, score = hit[keep], score[keep]
-        d, c = doc_chunk(hit)
-        return d, c, score
+        idx = np.searchsorted(base, hit, side="right") - 1
+        return doc_ids[idx], (hit - base[idx]).astype(np.uint64), score
 
     def _bm25_union(self, grams: list[int]):
         """Exhaustive union scoring, oracle accumulation order."""
