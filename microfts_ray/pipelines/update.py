@@ -33,42 +33,30 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..stages.tokenize import doc_ids_column
-from ..sources.corpus import corpus_sha256
 from ..state import manifest as mf
 from .build import build_partition, plan_partitions
 
 
-def _index_doc_shas(index_dir: str, manifest: dict) -> dict[int, str]:
-    """doc_id -> content sha from all live docs sidecars."""
-    out: dict[int, str] = {}
-    for rel, _si in mf.docs_sources(manifest):
-        t = pq.read_table(
-            os.path.join(index_dir, rel),
-            columns=["doc_id", "content_sha256"],
-        )
-        for d, s in zip(t["doc_id"].to_numpy(), t["content_sha256"].to_pylist()):
-            out[int(d)] = s
-    tombs = set(manifest.get("tombstones", []))
-    return {d: s for d, s in out.items() if d not in tombs}
+_DIFF_SHARDS = 1024
 
 
 def snapshot_diff(index_dir: str, corpus_paths: list[str]) -> dict:
     """Classify snapshot rows vs the index: new/changed doc ids and
     deleted doc_ids (keys in the index missing from the snapshot).
 
-    Distributed: snapshot hashing (blake2b ids + content sha256) runs
-    as a Ray Data map over the corpus; only (doc_id, sha) pairs come
-    back to the driver for the comparison. At sandbox scale the
-    indexed-sha map is driver-resident; beyond ~10^9 docs the compare
-    itself becomes a hash join of the two (doc_id, sha) tables."""
+    Fully distributed hash join: snapshot hashing (blake2b ids +
+    content sha256) runs as a Ray Data map over the corpus, the
+    index side streams from the docs sidecars, both are co-located by
+    a doc_id hash shard (groupby) and compared vectorized inside each
+    shard group. Only the CHANGED/DELETED ids (churn-sized, not
+    corpus-sized) ever reach the driver."""
     import ray
     import ray.data
 
     from .build import _pkg_root
 
     manifest = mf.load_manifest(index_dir)
-    indexed = _index_doc_shas(index_dir, manifest)
+    tombs = np.array(sorted(manifest.get("tombstones", [])), dtype=np.uint64)
     pkg_root = _pkg_root()
 
     def hash_batch(batch):
@@ -76,33 +64,100 @@ def snapshot_diff(index_dir: str, corpus_paths: list[str]) -> dict:
 
         if pkg_root not in sys.path:
             sys.path.insert(0, pkg_root)
+        import numpy as _np
         import pyarrow as _pa
 
         from microfts_ray.sources.corpus import corpus_sha256 as sha
         from microfts_ray.stages.tokenize import doc_ids_column as dic
 
-        ids = dic(batch["repo"], batch["path"], batch["commit"])
+        ids = _np.asarray(
+            dic(batch["repo"], batch["path"], batch["commit"]), dtype=_np.uint64
+        )
         shas = [sha(c) for c in batch["content"].to_pylist()]
         return _pa.table(
-            {"doc_id": _pa.array(ids, _pa.uint64()), "sha": _pa.array(shas)}
+            {
+                "doc_id": _pa.array(ids, _pa.uint64()),
+                "sha": _pa.array(shas),
+                "src": _pa.array(_np.ones(ids.size, dtype=_np.int8)),
+                "shard": _pa.array(
+                    (ids % _DIFF_SHARDS).astype(_np.int64), _pa.int64()
+                ),
+            }
         )
 
-    snap = (
-        ray.data.read_parquet(
-            sorted(corpus_paths), columns=["repo", "path", "commit", "content"]
+    def index_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        keep = ~np.isin(ids, tombs) if tombs.size else np.ones(ids.size, bool)
+        ids = ids[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.uint64()),
+                "sha": batch["content_sha256"].filter(pa.array(keep)),
+                "src": pa.array(np.zeros(ids.size, dtype=np.int8)),
+                "shard": pa.array((ids % _DIFF_SHARDS).astype(np.int64), pa.int64()),
+            }
         )
-        .map_batches(hash_batch, batch_format="pyarrow")
-        .take_all()
+
+    snap_ds = ray.data.read_parquet(
+        sorted(corpus_paths), columns=["repo", "path", "commit", "content"]
+    ).map_batches(hash_batch, batch_format="pyarrow")
+    sidecars = [
+        os.path.join(index_dir, rel) for rel, _si in mf.docs_sources(manifest)
+    ]
+    idx_ds = ray.data.read_parquet(
+        sidecars, columns=["doc_id", "content_sha256"]
+    ).map_batches(index_batch, batch_format="pyarrow")
+
+    def classify(group: pa.Table) -> pa.Table:
+        src = group["src"].to_numpy()
+        doc = group["doc_id"].to_numpy().astype(np.uint64)
+        sha = np.asarray(group["sha"].to_pylist(), dtype="S64")
+        im = src == 0
+        idx_doc, idx_sha = doc[im], sha[im]
+        order = np.argsort(idx_doc, kind="stable")
+        idx_doc, idx_sha = idx_doc[order], idx_sha[order]
+        s_doc, s_sha = doc[~im], sha[~im]
+        if idx_doc.size:
+            pos = np.minimum(
+                np.searchsorted(idx_doc, s_doc), idx_doc.size - 1
+            )
+            same = (idx_doc[pos] == s_doc) & (idx_sha[pos] == s_sha)
+        else:
+            same = np.zeros(s_doc.size, dtype=bool)
+        changed = s_doc[~same]
+        if s_doc.size:
+            ss = np.sort(s_doc)
+            pos2 = np.minimum(np.searchsorted(ss, idx_doc), ss.size - 1)
+            in_snap = ss.size > 0
+            present = (ss[pos2] == idx_doc) if in_snap else np.zeros(idx_doc.size, bool)
+        else:
+            present = np.zeros(idx_doc.size, dtype=bool)
+        deleted = idx_doc[~present]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([changed, deleted]), pa.uint64()
+                ),
+                "cls": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(changed.size, dtype=np.int8),
+                            np.ones(deleted.size, dtype=np.int8),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    rows = (
+        snap_ds.union(idx_ds)
+        .groupby("shard")
+        .map_groups(classify, batch_format="pyarrow")
+        .take_all()  # churn-sized, not corpus-sized
     )
-    seen: set[int] = set()
-    new_or_changed: list[int] = []  # doc ids needing (re)index
-    for row in snap:
-        d = int(row["doc_id"])
-        seen.add(d)
-        if indexed.get(d) != row["sha"]:
-            new_or_changed.append(d)
-    deleted = sorted(set(indexed) - seen)
-    return {"new_or_changed": sorted(new_or_changed), "deleted": deleted}
+    new_or_changed = sorted(int(r["doc_id"]) for r in rows if r["cls"] == 0)
+    deleted = sorted(int(r["doc_id"]) for r in rows if r["cls"] == 1)
+    return {"new_or_changed": new_or_changed, "deleted": deleted}
 
 
 def apply_update(
@@ -120,30 +175,79 @@ def apply_update(
     Superseded versions of CHANGED rows are tombstoned either way
     (openInputFile tombstones the old group, fts-lmdb.go:539).
     """
+    import ray
+    import ray.data
+
+    from .build import _pkg_root
+
     manifest = mf.load_manifest(index_dir)
     diff = snapshot_diff(index_dir, corpus_paths)
     changed_ids = np.array(sorted(diff["new_or_changed"]), dtype=np.uint64)
+    pkg_root = _pkg_root()
+    changed_ref = ray.put(changed_ids) if ray.is_initialized() else None
+
+    def _changed_filter(batch: pa.Table) -> pa.Table:
+        """Keep only rows whose doc key is in the changed set (the
+        broadcast-filter pattern: ids via ray.put, vectorized isin)."""
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        import numpy as _np
+        import ray as _ray
+
+        from microfts_ray.stages.tokenize import doc_ids_column as dic
+
+        wanted = _ray.get(changed_ref)
+        ids = _np.asarray(
+            dic(batch["repo"], batch["path"], batch["commit"]), dtype=_np.uint64
+        )
+        return batch.filter(pa.array(_np.isin(ids, wanted)))
+
     if not delete_missing:
-        # keep only old versions of re-supplied (repo, path) keys
+        # `input` semantics: only tombstone old versions of re-supplied
+        # (repo, path) keys. Both lookups are distributed filters whose
+        # results are churn-sized.
         changed_keys = set()
-        for path in sorted(corpus_paths):
-            t = pq.read_table(path, columns=["repo", "path", "commit"])
-            ids = doc_ids_column(t["repo"], t["path"], t["commit"])
-            for i in np.nonzero(np.isin(ids, changed_ids))[0]:
-                changed_keys.add((t["repo"][int(i)].as_py(), t["path"][int(i)].as_py()))
-        indexed_keys: dict[int, tuple[str, str]] = {}
-        for rel, _si in mf.docs_sources(manifest):
-            t = pq.read_table(
-                os.path.join(index_dir, rel),
-                columns=["doc_id", "repo", "path"],
+        if changed_ids.size:
+            rows = (
+                ray.data.read_parquet(
+                    sorted(corpus_paths), columns=["repo", "path", "commit"]
+                )
+                .map_batches(_changed_filter, batch_format="pyarrow")
+                .take_all()
             )
-            for d, r_, pth in zip(
-                t["doc_id"].to_numpy(), t["repo"].to_pylist(), t["path"].to_pylist()
-            ):
-                indexed_keys[int(d)] = (r_, pth)
-        diff["deleted"] = [
-            d for d in diff["deleted"] if indexed_keys.get(d) in changed_keys
-        ]
+            changed_keys = {(r["repo"], r["path"]) for r in rows}
+        deleted_ids = np.array(sorted(diff["deleted"]), dtype=np.uint64)
+        kept_deleted: list[int] = []
+        if deleted_ids.size:
+            del_ref = ray.put(deleted_ids)
+
+            def _deleted_filter(batch: pa.Table) -> pa.Table:
+                import numpy as _np
+                import ray as _ray
+
+                ids = batch["doc_id"].to_numpy().astype(_np.uint64)
+                m = _np.isin(ids, _ray.get(del_ref))
+                return batch.filter(pa.array(m))
+
+            sidecars = [
+                os.path.join(index_dir, rel)
+                for rel, _si in mf.docs_sources(manifest)
+            ]
+            drows = (
+                ray.data.read_parquet(
+                    sidecars, columns=["doc_id", "repo", "path"]
+                )
+                .map_batches(_deleted_filter, batch_format="pyarrow")
+                .take_all()
+            )
+            kept_deleted = sorted(
+                int(r["doc_id"])
+                for r in drows
+                if (r["repo"], r["path"]) in changed_keys
+            )
+        diff["deleted"] = kept_deleted
     if dry_run:
         return {
             "dry_run": True,
@@ -154,22 +258,25 @@ def apply_update(
     gen = str(uuid.uuid4().hex[:8])
     delta_paths: list[str] = []
     if diff["new_or_changed"]:
-        # materialize changed rows into delta corpus files (one per
-        # source file), then run the ordinary partition build on them
+        # materialize changed rows into delta corpus files with a
+        # DISTRIBUTED broadcast-filtered write (no corpus-sized data
+        # on the driver), then run the ordinary partition build
         delta_dir = os.path.join(index_dir, "delta", f"gen-{gen}")
         os.makedirs(delta_dir, exist_ok=True)
-        j = 0
-        for path in sorted(corpus_paths):
-            keys = pq.read_table(path, columns=["repo", "path", "commit"])
-            ids = doc_ids_column(keys["repo"], keys["path"], keys["commit"])
-            rows = np.nonzero(np.isin(ids, changed_ids))[0]
-            if rows.size == 0:
-                continue
-            t = pq.read_table(path).take(pa.array(rows))
-            out = os.path.join(delta_dir, f"delta-{j:05d}.parquet")
-            pq.write_table(t, out, row_group_size=max(1, target_rows_per_part // 4))
-            delta_paths.append(out)
-            j += 1
+        (
+            ray.data.read_parquet(sorted(corpus_paths))
+            .map_batches(_changed_filter, batch_format="pyarrow")
+            .write_parquet(
+                delta_dir, row_group_size=max(1, target_rows_per_part // 4)
+            )
+        )
+        import glob
+
+        delta_paths = sorted(
+            p
+            for p in glob.glob(os.path.join(delta_dir, "*.parquet"))
+            if pq.ParquetFile(p).metadata.num_rows > 0
+        )
         for part in plan_partitions(delta_paths, target_rows_per_part):
             part["pid"] = f"g{gen}-{part['pid']}"
             entry = build_partition(part, index_dir, chunker)
