@@ -92,6 +92,76 @@ def decode_run(row: dict) -> PostingRun:
     )
 
 
+def decode_run_blocks(row: dict, blocks: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Decode ONLY the given block indices of a run (the block
+    skip-index read path: candidate gathers touch k blocks of 128
+    entries instead of the whole multi-million-entry run).
+
+    The split-stream layout makes this cheap without stored byte
+    offsets: widths live in the contiguous first-bytes prefix, so one
+    n-length widths pass + a cumsum yields any block's payload
+    offset; values decode only for the selected ranges. Absolute doc
+    ids restart from the stored per-block first-doc (bfirst_doc), so
+    no prefix decode is needed.
+
+    Returns (doc_ids, chunk_ids, tfs, dls) concatenated over blocks
+    in ascending block order.
+    """
+    from .varint import decode_array_split
+
+    n = int(row["n"])
+    blocks = np.asarray(sorted(set(int(b) for b in blocks)), dtype=np.int64)
+    if n == 0 or blocks.size == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e.copy(), e.copy(), e.copy()
+    nblk = (n + BLOCK - 1) // BLOCK
+    bfirst = decode_array_split(row["bfirst_doc_blob"], nblk)
+
+    def sel_stream(blob) -> np.ndarray:
+        raw = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+        firsts = raw[:n]
+        widths = np.where(
+            firsts & 0x80 == 0, 1, ((firsts >> 4) & 0x7).astype(np.int64) + 2
+        )
+        pw = widths - 1
+        pay_start_all = np.concatenate(([0], np.cumsum(pw)))
+        pay = raw[n:]
+        outs = []
+        for b in blocks:
+            s, e = b * BLOCK, min((b + 1) * BLOCK, n)
+            m = e - s
+            f = firsts[s:e]
+            w = widths[s:e]
+            vals = np.where(w == 1, f, f & 0xF).astype(np.uint64)
+            p = pw[s:e]
+            base = pay_start_all[s:e]
+            maxpw = int(p.max()) if m else 0
+            for j in range(maxpw):
+                selm = p > j
+                vals[selm] = (vals[selm] << np.uint64(8)) | pay[base[selm] + j]
+            outs.append(vals)
+        return np.concatenate(outs)
+
+    gaps = sel_stream(row["doc_blob"])
+    # per-block absolute docs: cumsum within each block anchored at
+    # the stored block-first doc (gaps[block_start] is replaced)
+    doc = np.empty(gaps.size, dtype=np.uint64)
+    pos = 0
+    for b in blocks:
+        s, e = b * BLOCK, min((b + 1) * BLOCK, n)
+        m = e - s
+        g = gaps[pos : pos + m].copy()
+        g[0] = bfirst[b]
+        doc[pos : pos + m] = np.cumsum(g, dtype=np.uint64)
+        pos += m
+    return (
+        doc,
+        sel_stream(row["chunk_blob"]),
+        sel_stream(row["tf_blob"]),
+        sel_stream(row["dl_blob"]),
+    )
+
+
 def decode_block_meta(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(block max tf, block min dl, block first doc_id): WAND upper
     bounds + the skip index for block-selective decode."""

@@ -161,7 +161,12 @@ def encode_partition_runs(
     ns = ends - starts
 
     if doc_dict is not None:
-        doc = np.searchsorted(doc_dict, entries["doc_id"]).astype(np.uint64)
+        if "doc_rank" in entries:
+            # tokenize already ranked each entry against the sorted
+            # doc set — reuse instead of an O(n log m) re-searchsorted
+            doc = entries["doc_rank"].astype(np.uint64)
+        else:
+            doc = np.searchsorted(doc_dict, entries["doc_id"]).astype(np.uint64)
     else:
         doc = entries["doc_id"]
     gaps = np.empty(nrows, dtype=np.uint64)
@@ -315,11 +320,13 @@ def build_partition(part: dict, index_dir: str, chunker: str = "lines") -> dict:
         # small row groups + stats: term-range pruning for point
         # lookups AND for the merge stage (a merge shard reads ~1/M of
         # each segment instead of whole row groups)
-        # zstd-3 over lz4: ~40% smaller terms files for ~0.05s/part
-        # extra compress — on this deployment's cache-starved slow
-        # disk, bytes-on-disk directly bound merge and warmup reads
-        pq.write_table(out_tbl, tmp, row_group_size=512, compression="zstd",
-                       compression_level=3)
+        # segments stay lz4: they are BUILD-stage artifacts read once
+        # by the merge, and zstd here measurably cuts low-cpu build
+        # throughput (compression cpu). The MERGED serving shards are
+        # zstd-3 (merge.py) — those are what warmup re-reads from the
+        # cache-starved disk.
+        comp = "lz4" if name == "terms" else "zstd"
+        pq.write_table(out_tbl, tmp, row_group_size=512, compression=comp)
         os.replace(tmp, os.path.join(seg_dir, f"{name}.parquet"))
 
     entry = {

@@ -304,6 +304,79 @@ class IndexReader:
             self._run_cache_entries += n
         return run
 
+    def _pairs_tfdl(
+        self, g: int, d: np.ndarray, c: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(tf, dl, found) for candidate (doc, chunk) pairs of a term.
+
+        Cached runs use the in-memory pair_lookup; otherwise the BLOCK
+        SKIP-INDEX path: per run, the stored per-block first-doc
+        array locates the <=k blocks that can contain the candidates,
+        and only those 128-entry blocks decode (the whole point of the
+        bfirst_doc/bmax metadata) — a hot term's multi-million-entry
+        run is never fully decoded for a k-candidate gather."""
+        from ..functions.postings import BLOCK, decode_run_blocks
+
+        tf = np.zeros(d.size, dtype=np.uint64)
+        dl = np.zeros(d.size, dtype=np.uint64)
+        found = np.zeros(d.size, dtype=bool)
+        run = self._run_cache.get(g)
+        if run is not None:
+            idx = pair_lookup(d, c, run.doc_ids, run.chunk_ids)
+            hit = idx >= 0
+            tf[hit] = run.tfs[idx[hit]]
+            dl[hit] = run.dls[idx[hit]]
+            return tf, dl, hit
+        from ..functions.varint import decode_array_split
+
+        for seg in self._term_sources(g):
+            sl = seg.term_slice(g)
+            if sl is None or sl.num_rows == 0:
+                continue
+            rows = sl.to_pylist()
+            for row in rows:
+                n = int(row["n"])
+                if n == 0:
+                    continue
+                nblk = (n + BLOCK - 1) // BLOCK
+                bfirst = decode_array_split(row["bfirst_doc_blob"], nblk)
+                did = row.get("dict", "")
+                if did:
+                    lookup = self._resolve_dict(did)
+                    pos = np.minimum(
+                        np.searchsorted(lookup, d), lookup.size - 1
+                    )
+                    present = lookup[pos] == d
+                    cand_val = pos.astype(np.uint64)  # ranks in stream space
+                else:
+                    present = np.ones(d.size, dtype=bool)
+                    cand_val = d
+                if not present.any():
+                    continue
+                cv = cand_val[present]
+                # a doc can span several blocks (bfirst repeats): take
+                # the full [lo..hi] block range per candidate
+                lo = np.maximum(
+                    np.searchsorted(bfirst, cv, side="left").astype(np.int64) - 1, 0
+                )
+                hi = np.maximum(
+                    np.searchsorted(bfirst, cv, side="right").astype(np.int64) - 1, 0
+                )
+                spans = hi - lo + 1
+                offs = np.arange(int(spans.sum()), dtype=np.int64) - np.repeat(
+                    np.cumsum(spans) - spans, spans
+                )
+                blocks = np.unique(np.repeat(lo, spans) + offs)
+                bdoc, bchunk, btf, bdl = decode_run_blocks(row, blocks)
+                if did:
+                    bdoc = lookup[bdoc.astype(np.int64)]
+                idx = pair_lookup(d, c, bdoc, bchunk)
+                hit = idx >= 0
+                tf[hit] = btf[idx[hit]]
+                dl[hit] = bdl[idx[hit]]
+                found |= hit
+        return tf, dl, found
+
     def chunk_df(self, term: int) -> int:
         """Chunks containing term (the chunk-level df) = sum of run ns."""
         total = 0
@@ -1063,15 +1136,16 @@ class IndexReader:
                 -np.partition(-accS, kk - 1)[kk - 1] if accS.size >= kk else 0.0
             )
             if theta > 0.0 and suffix[i] < theta:
-                # remaining terms cannot promote unseen pairs: gather only
-                for g2, _ in desc[i:]:
-                    run = self.term_postings(g2)
-                    if len(run) == 0:
+                # remaining (hot) terms cannot promote unseen pairs:
+                # candidate-only gathers via the block skip-index
+                for g2, n2 in desc[i:]:
+                    if n2 == 0:
                         continue
-                    idx = pair_lookup(accD, accC, run.doc_ids, run.chunk_ids)
-                    hit = idx >= 0
-                    w = self._idf(len(run))
-                    accS[hit] += self._contrib(w, run.tfs[idx[hit]], run.dls[idx[hit]])
+                    tf2, dl2, hit = self._pairs_tfdl(g2, accD, accC)
+                    if not hit.any():
+                        continue
+                    w = self._idf(n2)
+                    accS[hit] += self._contrib(w, tf2[hit], dl2[hit])
                 break
             run = self.term_postings(g)
             if len(run) == 0:
@@ -1099,16 +1173,18 @@ class IndexReader:
 
     def _rescore_exact(self, grams: list[int], d: np.ndarray, c: np.ndarray):
         """Exact scores for a candidate set, ascending-term sequential
-        accumulation (the oracle's float semantics)."""
+        accumulation (the oracle's float semantics). Uncached hot
+        terms gather via the block skip-index, never a full decode."""
         score = np.zeros(d.size, dtype=np.float64)
         for g in grams:  # ascending
-            run = self.term_postings(g)
-            if len(run) == 0:
+            n = self.chunk_df(g)
+            if n == 0:
                 continue
-            idx = pair_lookup(d, c, run.doc_ids, run.chunk_ids)
-            hit = idx >= 0
-            w = self._idf(len(run))
-            score[hit] += self._contrib(w, run.tfs[idx[hit]], run.dls[idx[hit]])
+            tf, dl, hit = self._pairs_tfdl(g, d, c)
+            if not hit.any():
+                continue
+            w = self._idf(n)
+            score[hit] += self._contrib(w, tf[hit], dl[hit])
         return score
 
     def bm25_topk_docs(self, query: str, k: int = 10) -> list[dict]:

@@ -113,15 +113,18 @@ def tokenize_corpus_batch(
     chunk_idx, term, tf, chunk_dl = extract_batch(flat_chunks)
     entry_doc = chunk_doc[chunk_idx]
     entry_chunk = chunk_ord[chunk_idx]
-    entry_dl = chunk_dl[chunk_idx].astype(np.uint64)
+    if int(entry_chunk.max() if entry_chunk.size else 0) < (1 << 32):
+        entry_chunk = entry_chunk.astype(np.uint32)  # half the sort-gather bytes
+    entry_dl = chunk_dl[chunk_idx].astype(np.uint32)
     # sort by (term, doc_id, chunk_id): pack into one uint64 key when
     # ranks fit (term 16 bits + doc rank + chunk bits) — a single-key
     # argsort moves ~1/3 the bytes of a 3-array lexsort
     order = None
+    doc_rank_sorted = None
     if len(doc_ids):
         sorted_docs = np.sort(doc_ids)
         rank_bits = max(1, int(np.ceil(np.log2(max(2, sorted_docs.size)))))
-        max_chunk = int(chunk_ord.max()) if chunk_ord.size else 0
+        max_chunk = int(entry_chunk.max()) if entry_chunk.size else 0
         chunk_bits = max(1, (max_chunk + 1).bit_length())
         if 16 + rank_bits + chunk_bits <= 64:
             doc_rank = np.searchsorted(sorted_docs, entry_doc).astype(np.uint64)
@@ -131,15 +134,20 @@ def tokenize_corpus_batch(
                 | entry_chunk.astype(np.uint64)
             )
             order = np.argsort(packed, kind="stable")
+            doc_rank_sorted = doc_rank[order].astype(np.uint32)
     if order is None:
         order = np.lexsort((entry_chunk, entry_doc, term))
     entries = {
         "term": term[order],
         "doc_id": entry_doc[order],
         "chunk_id": entry_chunk[order],
-        "tf": tf[order].astype(np.uint64),
+        "tf": tf[order].astype(np.uint32),
         "dl": entry_dl[order],
     }
+    if doc_rank_sorted is not None:
+        # ranks into this batch's sorted doc set: the encoder consumes
+        # these directly instead of re-searchsorting every entry
+        entries["doc_rank"] = doc_rank_sorted
 
     sum_dl = np.zeros(len(contents), dtype=np.int64)
     doc_of_chunk = np.repeat(np.arange(len(contents)), n_chunks)

@@ -237,6 +237,45 @@ def test_bm25_maxscore_path_identical(reader, oracle, query):
     ]
 
 
+@pytest.mark.parametrize("query", ["def", "import mod_1", "def f_1(a, b):"])
+def test_bm25_scale_path_block_selective(reader, oracle, query):
+    """The NON-dense path (what a 10^12-doc shard would run): MaxScore
+    admission + block-skip-index candidate gathers. Forced by denying
+    the dense space; results must stay bit-identical to the oracle,
+    and uncached hot terms must never fully decode (the gather goes
+    through _pairs_tfdl -> decode_run_blocks)."""
+    r2 = IndexReader(reader.index_dir)
+    r2._dense_space = lambda cap=0: None  # force the scale path
+    got = r2.bm25_topk(query, k=10, prune_threshold=0)
+    want = oracle.bm25_topk(query, k=10)
+    assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+        (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+    ]
+
+
+def test_pairs_tfdl_block_gather_matches_full_decode(reader):
+    """Block-selective gather == full-decode pair lookup for arbitrary
+    candidate sets (incl. misses)."""
+    import numpy as np
+
+    from microfts_ray.functions.grams import gram_set
+
+    g = sorted(gram_set("def"))[0]
+    r2 = IndexReader(reader.index_dir)
+    full = r2.term_postings(g)
+    assert len(full) > 0
+    rng = np.random.default_rng(3)
+    take = rng.choice(len(full), size=min(50, len(full)), replace=False)
+    d = np.concatenate([full.doc_ids[take], np.array([12345], dtype=np.uint64)])
+    c = np.concatenate([full.chunk_ids[take], np.array([0], dtype=np.uint64)])
+    # uncached reader: forces the block path
+    r3 = IndexReader(reader.index_dir)
+    tf, dl, hit = r3._pairs_tfdl(g, d, c)
+    assert hit[:-1].all() and not hit[-1]
+    assert (tf[:-1] == full.tfs[take]).all()
+    assert (dl[:-1] == full.dls[take]).all()
+
+
 def test_bm25_maxscore_with_heavy_tombstones(corpus_dir, tmp_path_factory):
     """Tombstoned docs must not inflate the MaxScore admission
     threshold theta: delete the docs holding the current top-k and
