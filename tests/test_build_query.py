@@ -315,6 +315,39 @@ def test_bm25_maxscore_with_heavy_tombstones(corpus_dir, tmp_path_factory):
     assert pruned and all(x["doc_id"] not in {t["doc_id"] for t in top} for x in pruned)
 
 
+def test_warmcache_roundtrip_and_invalidation(corpus_dir, tmp_path_factory, oracle):
+    """prewarm(persist=True) writes a warm cache; a fresh reader warms
+    from mmap with identical query results; any index change (update)
+    invalidates the cache via the manifest hash."""
+    import glob
+    import os
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("wc"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    r1 = IndexReader(idx)
+    n1 = r1.prewarm(min_entries=100, persist=True)
+    assert os.path.exists(os.path.join(idx, "warmcache", "meta.json"))
+    r2 = IndexReader(idx)
+    n2 = r2.prewarm(min_entries=100)
+    assert n2 > 0 and r2._sorted_kc  # warmed from the cache
+    for q in ["def", "import mod_1"]:
+        got = r2.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ]
+    # index change -> stale cache must NOT load
+    from microfts_ray.pipelines.update import delete_doc
+    from microfts_ray.sources.corpus import gen_table
+
+    row = gen_table(0, 1).to_pylist()[0]
+    delete_doc(idx, row["repo"], row["path"], row["commit"])
+    r3 = IndexReader(idx)
+    assert not r3._load_warmcache()
+
+
 def test_validate_index(reader):
     from microfts_ray.pipelines.build import validate_index
 
