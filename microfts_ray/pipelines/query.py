@@ -907,22 +907,28 @@ class IndexReader:
         d, c, pct = d[keep], c[keep], pct[keep]
         texts = self.chunk_texts(d, c)
         groups = self.doc_groups(d)
-        rows = [
-            {
-                "group": grp,
-                "doc_id": int(dd),
-                "chunk_id": int(cc),
-                "line": int(cc) + 1,
-                "percent": float(p) * 100.0,
-                "text": t,
-            }
-            for grp, dd, cc, p, t in zip(groups, d, c, pct, texts)
-        ]
+        # vectorized result ordering: group strings -> lexical codes
+        # (np.unique sorts), then one lexsort — a Python tuple-key
+        # sort over millions of hit rows was a multi-second tax
+        codes = np.zeros(len(groups), dtype=np.int64)
+        if groups:
+            _, codes = np.unique(np.array(groups, dtype=object), return_inverse=True)
+        pct100 = pct * 100.0
         if sort_all:
-            rows.sort(key=lambda r: (r["percent"], r["group"], r["chunk_id"]))
+            order = np.lexsort((c, codes, pct100))
         else:
-            rows.sort(key=lambda r: (r["group"], -r["percent"], r["chunk_id"]))
-        return rows
+            order = np.lexsort((c, -pct100, codes))
+        return [
+            {
+                "group": groups[j],
+                "doc_id": int(d[j]),
+                "chunk_id": int(c[j]),
+                "line": int(c[j]) + 1,
+                "percent": float(pct100[j]),
+                "text": texts[j],
+            }
+            for j in order
+        ]
 
     def search_file(self, *args: str, partial: bool = False) -> list[dict]:
         """Doc-level conjunction (intersectFileGrams, X2)."""
