@@ -46,21 +46,26 @@ def exact_dedup(ds: ray.data.Dataset, key: str = "text") -> ray.data.Dataset:
     kept — the hash-partition + per-group-first pattern."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
+        # per-batch combine (Arrow hash group_by): the shuffle moves
+        # one (hash, min_id, count) partial per distinct hash per
+        # batch, never a row per document
         hs = [hashlib.md5(t.encode()).hexdigest() for t in batch[key].to_pylist()]
-        return pa.table({"h": pa.array(hs), "doc_id": batch["doc_id"]})
+        tbl = pa.table({"h": pa.array(hs), "doc_id": batch["doc_id"]})
+        g = tbl.group_by("h").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return g.rename_columns(["h", "pmin", "pcount"])
 
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min, Sum
 
     agg = ds.map_batches(add_hash, batch_format="pyarrow").groupby("h").aggregate(
-        Min("doc_id"), Count()
+        Min("pmin"), Sum("pcount")
     )
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "h": batch["h"],
-                "keep_id": batch["min(doc_id)"].cast(pa.int64()),
-                "dup_count": batch["count()"].cast(pa.int64()),
+                "keep_id": batch["min(pmin)"].cast(pa.int64()),
+                "dup_count": batch["sum(pcount)"].cast(pa.int64()),
             }
         )
 

@@ -18,9 +18,26 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     """TPC-H Q1-style: exact-sum measures only (quantities are whole
-    numbers, so float sums are order-independent)."""
-    agg = lineitem.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity"), Count()
+    numbers, so float sums are order-independent).
+
+    Pre-aggregates per batch with Arrow's native hash group_by (C++,
+    ~ms for 10^6 rows) so the Ray groupby shuffle moves a handful of
+    partial rows per batch — Ray's sort-based aggregate over raw
+    string-keyed rows measured 15 s for 600k rows, the combiner form
+    runs the whole pipeline in well under a second."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "psum", "pcount"]
+        )
+
+    agg = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("psum"), Sum("pcount"))
     )
 
     def rename(b: pa.Table) -> pa.Table:
@@ -28,29 +45,56 @@ def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
-                "sum_qty": b["sum(l_quantity)"],
-                "count_order": b["count()"].cast(pa.int64()),
+                "sum_qty": b["sum(psum)"],
+                "count_order": b["sum(pcount)"].cast(pa.int64()),
             }
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def _combine(keys: list[str], count_col: str):
+    """Per-batch Arrow hash pre-aggregation (the combiner): the Ray
+    groupby then shuffles one partial row per (batch, group) instead
+    of every input row — Ray's sort-based aggregate over raw rows is
+    orders of magnitude slower on string keys."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate([(count_col, "count")])
+        return g.rename_columns(keys + ["pcount"])
+
+    return partial
+
+
 def top_customers(orders: ray.data.Dataset, k: int = 10) -> pa.Table:
     """Orders per customer, top-k by (count desc, custkey asc)."""
-    agg = orders.groupby("o_custkey").aggregate(Count())
+    agg = (
+        orders.map_batches(
+            _combine(["o_custkey"], "o_custkey"), batch_format="pyarrow"
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("pcount"))
+    )
 
-    def rename(b: pa.Table) -> pa.Table:
+    def local_topk(b: pa.Table) -> pa.Table:
+        # per-block top-k; the driver merges tiny winner lists — no
+        # all-to-all sort barrier for a k-row result
+        ck = b["o_custkey"].to_numpy()
+        n = b["sum(pcount)"].to_numpy()
+        order = np.lexsort((ck, -n))[:k]
         return pa.table(
-            {"o_custkey": b["o_custkey"], "order_count": b["count()"].cast(pa.int64())}
+            {"o_custkey": pa.array(ck[order], pa.int64()),
+             "order_count": pa.array(n[order].astype(np.int64), pa.int64())}
         )
 
-    out = (
-        agg.map_batches(rename, batch_format="pyarrow")
-        .sort(["order_count", "o_custkey"], descending=[True, False])
-        .limit(k)
+    winners = agg.map_batches(local_topk, batch_format="pyarrow").take_all()
+    ck = np.array([r["o_custkey"] for r in winners], dtype=np.int64)
+    n = np.array([r["order_count"] for r in winners], dtype=np.int64)
+    order = np.lexsort((ck, -n))[:k]
+    return pa.table(
+        {"o_custkey": pa.array(ck[order], pa.int64()),
+         "order_count": pa.array(n[order], pa.int64())}
     )
-    return pa.Table.from_pylist(out.take_all())
 
 
 def orders_per_nation(
@@ -81,28 +125,39 @@ def orders_per_nation(
 
     agg = (
         orders.map_batches(attach, batch_format="pyarrow")
+        .map_batches(_combine(["n_name"], "n_name"), batch_format="pyarrow")
         .groupby("n_name")
-        .aggregate(Count())
+        .aggregate(Sum("pcount"))
     )
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
-            {"n_name": b["n_name"], "n_orders": b["count()"].cast(pa.int64())}
+            {"n_name": b["n_name"], "n_orders": b["sum(pcount)"].cast(pa.int64())}
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
 def events_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
-    agg = events.groupby("event_type").aggregate(Count(), Min("value"), Max("value"))
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("event_type").aggregate(
+            [("value", "count"), ("value", "min"), ("value", "max")]
+        )
+        return g.rename_columns(["event_type", "pcount", "pmin", "pmax"])
+
+    agg = (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("pcount"), Min("pmin"), Max("pmax"))
+    )
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "event_type": b["event_type"],
-                "n": b["count()"].cast(pa.int64()),
-                "min_value": b["min(value)"],
-                "max_value": b["max(value)"],
+                "n": b["sum(pcount)"].cast(pa.int64()),
+                "min_value": b["min(pmin)"],
+                "max_value": b["max(pmax)"],
             }
         )
 
@@ -123,14 +178,17 @@ def events_hourly(events: ray.data.Dataset) -> ray.data.Dataset:
 
     agg = (
         events.map_batches(window, batch_format="pyarrow")
+        .map_batches(
+            _combine(["event_type", "hour"], "event_type"), batch_format="pyarrow"
+        )
         .groupby(["event_type", "hour"])
-        .aggregate(Count())
+        .aggregate(Sum("pcount"))
     )
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
             {"event_type": b["event_type"], "hour": b["hour"],
-             "n": b["count()"].cast(pa.int64())}
+             "n": b["sum(pcount)"].cast(pa.int64())}
         )
 
     return agg.map_batches(rename, batch_format="pyarrow")
@@ -164,9 +222,15 @@ def events_prev_id(events: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def lang_count(documents: ray.data.Dataset) -> ray.data.Dataset:
-    agg = documents.groupby("lang").aggregate(Count())
+    agg = (
+        documents.map_batches(_combine(["lang"], "lang"), batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("pcount"))
+    )
 
     def rename(b: pa.Table) -> pa.Table:
-        return pa.table({"lang": b["lang"], "n_docs": b["count()"].cast(pa.int64())})
+        return pa.table(
+            {"lang": b["lang"], "n_docs": b["sum(pcount)"].cast(pa.int64())}
+        )
 
     return agg.map_batches(rename, batch_format="pyarrow")

@@ -57,18 +57,25 @@ def term_df(ds: ray.data.Dataset) -> ray.data.Dataset:
     """
 
     def explode(batch: pa.Table) -> pa.Table:
+        # per-batch (term -> partial df) via Arrow hash group_by: the
+        # Ray groupby shuffles one row per distinct term per batch
+        # (combiner), never the raw exploded pairs
         terms = []
         for t in batch["text"].to_pylist():
             terms.append(sorted(set(word_tokens(t))))
         flat = [x for ts in terms for x in ts]
-        return pa.table({"term": pa.array(flat, pa.string())})
+        tbl = pa.table({"term": pa.array(flat, pa.string())})
+        g = tbl.group_by("term").aggregate([("term", "count")])
+        return g.rename_columns(["term", "pdf"])
 
     pairs = ds.map_batches(explode, batch_format="pyarrow")
-    counts = pairs.groupby("term").count()
+    from ray.data.aggregate import Sum
+
+    counts = pairs.groupby("term").aggregate(Sum("pdf"))
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
-            {"term": batch["term"], "df": batch["count()"].cast(pa.int64())}
+            {"term": batch["term"], "df": batch["sum(pdf)"].cast(pa.int64())}
         )
 
     return counts.map_batches(rename, batch_format="pyarrow")
