@@ -32,6 +32,10 @@ class PostingRun:
     chunk_ids: np.ndarray  # uint64 (chunk ordinal within doc)
     tfs: np.ndarray  # uint64 (gram occurrences in chunk)
     dls: np.ndarray  # uint64 (chunk length |d| = total gram occurrences)
+    # False when the source row carried no dl stream (dl lives in the
+    # docs sidecars' per-chunk lists since round 2): the reader layer
+    # gathers dls and flips this before any scoring use
+    has_dl: bool = True
 
     def __len__(self) -> int:
         return int(self.doc_ids.size)
@@ -81,14 +85,18 @@ def encode_run(
 
 
 def decode_run(row: dict) -> PostingRun:
-    """Inverse of encode_run (block maxima are not needed to decode)."""
+    """Inverse of encode_run (block maxima are not needed to decode).
+    An empty dl_blob (sidecar-dl layout) yields zeros + has_dl=False."""
     n = int(row["n"])
     gaps = decode_array_split(row["doc_blob"], n)
+    dl_blob = row["dl_blob"]
+    has_dl = len(dl_blob) > 0 or n == 0
     return PostingRun(
         doc_ids=np.cumsum(gaps, dtype=np.uint64),
         chunk_ids=decode_array_split(row["chunk_blob"], n),
         tfs=decode_array_split(row["tf_blob"], n),
-        dls=decode_array_split(row["dl_blob"], n),
+        dls=decode_array_split(dl_blob, n) if has_dl else np.zeros(n, dtype=np.uint64),
+        has_dl=has_dl,
     )
 
 
@@ -154,11 +162,18 @@ def decode_run_blocks(row: dict, blocks: np.ndarray) -> tuple[np.ndarray, ...]:
         g[0] = bfirst[b]
         doc[pos : pos + m] = np.cumsum(g, dtype=np.uint64)
         pos += m
+    m_total = doc.size
+    dl_blob = row["dl_blob"]
+    dls = (
+        sel_stream(dl_blob)
+        if len(dl_blob) > 0
+        else np.zeros(m_total, dtype=np.uint64)  # sidecar-dl layout
+    )
     return (
         doc,
         sel_stream(row["chunk_blob"]),
         sel_stream(row["tf_blob"]),
-        sel_stream(row["dl_blob"]),
+        dls,
     )
 
 
@@ -245,12 +260,18 @@ def decode_terms_table(tbl, dict_resolver=None) -> dict:
                     lookup = dict_resolver(did)
                     doc[s:e] = lookup[doc[s:e].astype(np.int64)]
     terms = np.repeat(tbl["term"].to_numpy().astype(np.uint16), ns)
+    # sidecar-dl layout: dl blobs are empty -> zeros + has_dl=False
+    import pyarrow.compute as _pc
+
+    dl_bytes = int(_pc.sum(_pc.binary_length(tbl["dl_blob"])).as_py() or 0)
+    has_dl = dl_bytes > 0 or total == 0
     return {
         "term": terms,
         "doc_id": doc,
         "chunk_id": col_values("chunk_blob"),
         "tf": col_values("tf_blob"),
-        "dl": col_values("dl_blob"),
+        "dl": col_values("dl_blob") if has_dl else np.zeros(total, dtype=np.uint64),
+        "has_dl": has_dl,
         "row_starts": row_starts,
     }
 
@@ -266,4 +287,7 @@ def merge_runs(runs: list[PostingRun]) -> PostingRun:
     tf = np.concatenate([r.tfs for r in runs])
     dl = np.concatenate([r.dls for r in runs])
     order = np.lexsort((chk, doc))
-    return PostingRun(doc[order], chk[order], tf[order], dl[order])
+    return PostingRun(
+        doc[order], chk[order], tf[order], dl[order],
+        has_dl=all(r.has_dl for r in runs),
+    )

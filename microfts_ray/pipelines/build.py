@@ -132,9 +132,18 @@ def encode_partition_runs(
     entries: dict[str, np.ndarray],
     doc_dict: np.ndarray | None = None,
     dict_id: str = "",
+    store_dl: bool = False,
 ) -> pa.Table:
     """Entries sorted by (term, doc_id, chunk_id) -> one encoded
     posting-run row per term (TERMS_SCHEMA).
+
+    dl (chunk length) repeats for every posting of a chunk, so by
+    default it is NOT stored in the posting stream (store_dl=False
+    writes an empty dl_blob; readers gather dl from the docs
+    sidecars' per-chunk `chunk_dl` lists instead — measured ~30% of
+    the compressed shard bytes). dl is still consumed here for the
+    per-block min-dl WAND bound. Old indexes with populated dl_blob
+    decode unchanged.
 
     Fully vectorized: each stream is varint-encoded ONCE for the whole
     partition; per-term blobs are zero-copy slices via offset buffers
@@ -199,6 +208,10 @@ def encode_partition_runs(
     bmin_dl = np.minimum.reduceat(dl, blk_start)
     bfirst_doc = doc[blk_start]  # block skip index for selective decode
 
+    if store_dl:
+        dl_col = stream(dl, starts, ends)
+    else:
+        dl_col = _binary_col(b"", np.zeros(starts.size + 1, dtype=np.int64))
     return pa.table(
         {
             "term": pa.array(t32[starts], pa.int32()),
@@ -208,7 +221,7 @@ def encode_partition_runs(
             "doc_blob": stream(gaps, starts, ends),
             "chunk_blob": stream(entries["chunk_id"], starts, ends),
             "tf_blob": stream(tf, starts, ends),
-            "dl_blob": stream(dl, starts, ends),
+            "dl_blob": dl_col,
             "bmax_tf_blob": stream(bmax_tf, blk_offsets[:-1], blk_offsets[1:]),
             "bmin_dl_blob": stream(bmin_dl, blk_offsets[:-1], blk_offsets[1:]),
             "bfirst_doc_blob": stream(bfirst_doc, blk_offsets[:-1], blk_offsets[1:]),

@@ -34,7 +34,7 @@ def documents_corpus_path(sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     tag = hashlib.sha1(
-        f"split2:{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"split3:{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
     out_dir = os.path.join(_CACHE_ROOT, tag)
     out = os.path.join(out_dir, "corpus-00000.parquet")

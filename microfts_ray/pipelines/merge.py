@@ -143,7 +143,9 @@ def write_shard_table(
             (entries["chunk_id"], entries["doc_id"], entries["term"])
         )
         entries = {c: v[order] for c, v in entries.items()}
-        out_tbl = encode_partition_runs(entries)
+        # preserve the source layout: old inputs carry dl in-stream
+        # (re-store it); sidecar-dl inputs stay dl-less
+        out_tbl = encode_partition_runs(entries, store_dl=dec["has_dl"])
     else:
         out_tbl = TERMS_SCHEMA.empty_table()
     out_dir = os.path.join(index_dir, "merged", f"shard={shard:04d}")

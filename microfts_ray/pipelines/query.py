@@ -266,12 +266,13 @@ class IndexReader:
                 doc = np.cumsum(stream("doc_blob"), dtype=np.uint64)
                 if dict_ids[i]:
                     doc = self._resolve_dict(dict_ids[i])[doc.astype(np.int64)]
-                runs.append(
-                    PostingRun(
-                        doc, stream("chunk_blob"), stream("tf_blob"),
-                        stream("dl_blob"),
-                    )
-                )
+                chunk = stream("chunk_blob")
+                dl_data, dl_offs = views["dl_blob"]
+                if dl_offs[i + 1] > dl_offs[i]:
+                    dls = stream("dl_blob")
+                else:  # sidecar-dl layout: gather per-chunk dl
+                    dls = self._chunk_dls(doc, chunk)
+                runs.append(PostingRun(doc, chunk, stream("tf_blob"), dls))
         return runs
 
     def term_postings(self, term: int) -> PostingRun:
@@ -303,6 +304,46 @@ class IndexReader:
             self._run_cache[term] = run
             self._run_cache_entries += n
         return run
+
+    def _chunk_dl_space(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(sorted doc_ids, span base, flat per-chunk dl) — the dl
+        lookup for the sidecar-dl posting layout. Independent of the
+        dense-accumulator cap; at true scale a serving shard holds
+        only its doc range's slice."""
+        if not hasattr(self, "_chunk_dl_cache"):
+            ids, spans, dls = [], [], []
+            for _si, d in self._docs_tables():
+                ids.append(d["doc_id"].to_numpy().astype(np.uint64))
+                span_col = "chunk_span" if "chunk_span" in d.column_names else "n_chunks"
+                spans.append(d[span_col].to_numpy().astype(np.int64))
+                col = d["chunk_dl"]
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                dls.append(arr.flatten().to_numpy(zero_copy_only=False))
+            doc_ids = np.concatenate(ids)
+            span = np.concatenate(spans)
+            flat = np.concatenate(dls).astype(np.uint64)
+            order = np.argsort(doc_ids, kind="stable")
+            # reorder the flat dl segments to the sorted doc order
+            starts = np.zeros(doc_ids.size + 1, dtype=np.int64)
+            np.cumsum(span, out=starts[1:])
+            seg_starts = starts[:-1][order]
+            seg_lens = span[order]
+            total = int(seg_lens.sum())
+            idx = np.repeat(seg_starts, seg_lens) + (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(seg_lens) - seg_lens, seg_lens)
+            )
+            base = np.zeros(doc_ids.size + 1, dtype=np.int64)
+            np.cumsum(seg_lens, out=base[1:])
+            self._chunk_dl_cache = (doc_ids[order], base, flat[idx])
+        return self._chunk_dl_cache
+
+    def _chunk_dls(self, doc_ids: np.ndarray, chunk_ids: np.ndarray) -> np.ndarray:
+        """Per-pair dl gather from the sidecar chunk-dl space."""
+        ids, base, flat = self._chunk_dl_space()
+        idx = np.minimum(np.searchsorted(ids, doc_ids), ids.size - 1)
+        key = base[idx] + chunk_ids.astype(np.int64)
+        return flat[np.minimum(key, flat.size - 1)]
 
     def _pairs_tfdl(
         self, g: int, d: np.ndarray, c: np.ndarray
@@ -370,6 +411,8 @@ class IndexReader:
                 bdoc, bchunk, btf, bdl = decode_run_blocks(row, blocks)
                 if did:
                     bdoc = lookup[bdoc.astype(np.int64)]
+                if len(row.get("dl_blob", b"")) == 0:
+                    bdl = self._chunk_dls(bdoc, bchunk)  # sidecar-dl layout
                 idx = pair_lookup(d, c, bdoc, bchunk)
                 hit = idx >= 0
                 tf[hit] = btf[idx[hit]]
@@ -535,9 +578,16 @@ class IndexReader:
             else:
                 chunks = [todo[i::n_tasks] for i in range(n_tasks)]
 
-            # broadcast the dense space: each task re-deriving it
-            # re-reads every docs sidecar from (cold) disk
-            dense_ref = _ray.put(self._dense if use_dense else None)
+            # broadcast the dense + chunk-dl spaces: each task
+            # re-deriving them re-reads every docs sidecar from
+            # (cold) disk
+            try:
+                dl_space = self._chunk_dl_space()
+            except KeyError:  # old-format index: dl lives in-stream
+                dl_space = None
+            dense_ref = _ray.put(
+                (self._dense if use_dense else None, dl_space)
+            )
 
             def warm_task(terms: list[int]) -> dict:
                 import sys
@@ -549,9 +599,11 @@ class IndexReader:
                 from microfts_ray.pipelines.query import IndexReader as IR
 
                 r = IR(index_dir)
-                dense_val = _ray.get(dense_ref)
+                dense_val, dl_space_val = _ray.get(dense_ref)
                 if dense_val is not None:
                     r._dense = dense_val
+                if dl_space_val is not None:
+                    r._chunk_dl_cache = dl_space_val
                 dense = r._dense_space() is not None
                 out = {}
                 for t in terms:

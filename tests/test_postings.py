@@ -85,7 +85,7 @@ def test_encode_partition_runs_matches_scalar():
         "tf": rng.integers(1, 200, size=rows, dtype=np.uint64),
         "dl": rng.integers(1, 5000, size=rows, dtype=np.uint64),
     }
-    tbl = encode_partition_runs(entries)
+    tbl = encode_partition_runs(entries, store_dl=True)
     pos = 0
     for i in range(tbl.num_rows):
         row = {k: tbl[k][i].as_py() for k in tbl.column_names}
@@ -121,7 +121,7 @@ def test_decode_terms_table_bulk():
         "tf": rng.integers(1, 9, size=rows, dtype=np.uint64),
         "dl": rng.integers(1, 999, size=rows, dtype=np.uint64),
     }
-    tbl = encode_partition_runs(entries)
+    tbl = encode_partition_runs(entries, store_dl=True)
     dec = decode_terms_table(tbl)
     for k in ("term", "doc_id", "chunk_id", "tf", "dl"):
         assert (dec[k] == entries[k]).all(), k
@@ -130,3 +130,34 @@ def test_decode_terms_table_bulk():
     dec2 = decode_terms_table(tbl.filter(keep))
     want = np.isin(entries["term"], tbl["term"].to_numpy()[keep])
     assert (dec2["doc_id"] == entries["doc_id"][want]).all()
+
+
+def test_sidecar_dl_layout_roundtrip():
+    """Default encode stores NO dl stream (empty dl_blob, zeroed
+    block-min); decode flags has_dl=False and fills dl with zeros for
+    the reader layer to gather from the chunk-dl sidecar."""
+    from microfts_ray.functions.postings import decode_run, decode_terms_table
+    from microfts_ray.pipelines.build import encode_partition_runs
+
+    rng = np.random.default_rng(5)
+    rows = 500
+    term = np.sort(rng.integers(0, 9, size=rows).astype(np.uint16))
+    doc = rng.integers(0, 1 << 40, size=rows, dtype=np.uint64)
+    chk = rng.integers(0, 40, size=rows, dtype=np.uint64)
+    order = np.lexsort((chk, doc, term))
+    entries = {
+        "term": term[order], "doc_id": doc[order], "chunk_id": chk[order],
+        "tf": rng.integers(1, 9, size=rows, dtype=np.uint64),
+        "dl": rng.integers(1, 999, size=rows, dtype=np.uint64),
+    }
+    tbl = encode_partition_runs(entries)  # default: sidecar-dl layout
+    assert sum(len(x.as_py()) for x in tbl["dl_blob"]) == 0
+    row0 = {k: tbl[k][0].as_py() for k in tbl.column_names}
+    run = decode_run(row0)
+    assert not run.has_dl and (run.dls == 0).all() and len(run) == row0["n"]
+    dec = decode_terms_table(tbl)
+    assert not dec["has_dl"] and (dec["dl"] == 0).all()
+    # non-dl streams are unchanged vs the stored form
+    tbl_full = encode_partition_runs(entries, store_dl=True)
+    for col in ("doc_blob", "chunk_blob", "tf_blob", "bfirst_doc_blob"):
+        assert tbl[col].to_pylist() == tbl_full[col].to_pylist()
