@@ -241,6 +241,7 @@ def main(argv: list[str] | None = None) -> int:
         if mf.manifest_exists(args.db):
             import os as _os
 
+            import pyarrow.compute as _pc
             import pyarrow.parquet as _pq
 
             man = mf.load_manifest(args.db)
@@ -248,9 +249,10 @@ def main(argv: list[str] | None = None) -> int:
                 t = _pq.read_table(
                     _os.path.join(args.db, rel), columns=["repo", "path"]
                 )
-                for r_, p_ in zip(t["repo"].to_pylist(), t["path"].to_pylist()):
-                    if f"{r_}/{p_}" == head:
-                        return r_, p_, commit
+                joined = _pc.binary_join_element_wise(t["repo"], t["path"], "/")
+                hit = _pc.index(_pc.equal(joined, head), True).as_py()
+                if hit >= 0:
+                    return t["repo"][hit].as_py(), t["path"][hit].as_py(), commit
         repo, _, path = head.partition("/")
         return repo, path, commit
 

@@ -260,11 +260,21 @@ def decode_terms_table(tbl, dict_resolver=None) -> dict:
                     lookup = dict_resolver(did)
                     doc[s:e] = lookup[doc[s:e].astype(np.int64)]
     terms = np.repeat(tbl["term"].to_numpy().astype(np.uint16), ns)
-    # sidecar-dl layout: dl blobs are empty -> zeros + has_dl=False
+    # sidecar-dl layout: dl blobs are empty -> zeros + has_dl=False.
+    # A table may hold EITHER layout, never both: an index keeps one
+    # dl layout for life (build/update consult manifest.dl_layout), so
+    # a mix here means generations were combined incorrectly — fail
+    # loudly rather than decode one row's dl bytes as another's.
     import pyarrow.compute as _pc
 
-    dl_bytes = int(_pc.sum(_pc.binary_length(tbl["dl_blob"])).as_py() or 0)
+    dl_lens = _pc.binary_length(tbl["dl_blob"]).to_numpy(zero_copy_only=False)
+    dl_bytes = int(dl_lens.sum())
     has_dl = dl_bytes > 0 or total == 0
+    if has_dl and total and (dl_lens[ns > 0] == 0).any():
+        raise ValueError(
+            "mixed dl layouts in one terms table (some rows carry dl "
+            "streams, some are sidecar-dl); rebuild or compact per layout"
+        )
     return {
         "term": terms,
         "doc_id": doc,

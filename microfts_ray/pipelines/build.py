@@ -266,7 +266,8 @@ def group_partitions(parts: list[dict], n_blocks: int) -> list[dict]:
 
 
 def _tokenize_ranges(
-    part: dict, chunker: str, dict_id: str = "", sub: int = 0
+    part: dict, chunker: str, dict_id: str = "", sub: int = 0,
+    store_dl: bool = False,
 ) -> tuple[pa.Table, pa.Table]:
     """Tokenize+encode one partition's row-group range; returns
     (terms table, docs table with src_rg lineage). Sized so the sort
@@ -280,7 +281,9 @@ def _tokenize_ranges(
     )
     entries, docs = tokenize_corpus_batch(tbl, chunker=chunker)
     doc_dict = np.sort(docs["doc_id"].to_numpy()) if dict_id else None
-    terms_tbl = encode_partition_runs(entries, doc_dict=doc_dict, dict_id=dict_id)
+    terms_tbl = encode_partition_runs(
+        entries, doc_dict=doc_dict, dict_id=dict_id, store_dl=store_dl
+    )
     # lineage: which source row group each doc came from (query-side
     # chunk-text recovery re-reads only that row group, J3)
     rg_rows = [f.metadata.row_group(i).num_rows for i in rgs]
@@ -295,7 +298,9 @@ def _tokenize_ranges(
     return terms_tbl, docs
 
 
-def build_partition(part: dict, index_dir: str, chunker: str = "lines") -> dict:
+def build_partition(
+    part: dict, index_dir: str, chunker: str = "lines", store_dl: bool = False
+) -> dict:
     """Build one partition's segment; idempotent and atomic.
 
     Returns the checkpoint entry (also persisted under _manifest/).
@@ -315,7 +320,7 @@ def build_partition(part: dict, index_dir: str, chunker: str = "lines") -> dict:
     term_tables, doc_tables = [], []
     for k, sub in enumerate(subs):
         t_tbl, d_tbl = _tokenize_ranges(
-            sub, chunker, dict_id=f"{part['pid']}:{k}", sub=k
+            sub, chunker, dict_id=f"{part['pid']}:{k}", sub=k, store_dl=store_dl
         )
         term_tables.append(t_tbl)
         doc_tables.append(d_tbl)
@@ -457,6 +462,12 @@ def build_index(
     manifest = {
         "version": 2,
         "blob_format": "split2-dict",
+        # sidecar-dl: posting rows carry no dl stream; dl lives in
+        # the docs sidecars' chunk_dl lists. An index keeps ONE
+        # layout for life — apply_update consults this flag so delta
+        # partitions of a pre-sidecar index keep storing dl in-stream
+        # (a mixed-layout shard table would be undecodable)
+        "dl_layout": "sidecar",
         "chunker": chunker,
         "partitions": [
             {k: e[k] for k in ("pid", "lineage", "segment", "stats")} for e in entries

@@ -199,6 +199,7 @@ def build_index_shuffle(
         )
     manifest = {
         "version": 1,
+        "dl_layout": "sidecar",
         "chunker": chunker,
         "mode": "shuffle",
         "partitions": parts,

@@ -51,7 +51,12 @@ def exact_dedup(ds: ray.data.Dataset, key: str = "text") -> ray.data.Dataset:
         # batch, never a row per document
         hs = [hashlib.md5(t.encode()).hexdigest() for t in batch[key].to_pylist()]
         tbl = pa.table({"h": pa.array(hs), "doc_id": batch["doc_id"]})
-        g = tbl.group_by("h").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        import pyarrow.compute as pc
+
+        g = tbl.group_by("h").aggregate(
+            [("doc_id", "min"),
+             ("doc_id", "count", pc.CountOptions(mode="all"))]
+        )
         return g.rename_columns(["h", "pmin", "pcount"])
 
     from ray.data.aggregate import Min, Sum

@@ -121,17 +121,12 @@ class _Segment:
         rg_hi = int(np.searchsorted(self._rg_offsets, hi - 1, side="right") - 1)
         tbl = self._pf.read_row_groups(list(range(rg_lo, rg_hi + 1)))
         base = int(self._rg_offsets[rg_lo])
-        sl = tbl.slice(lo - base, hi - lo)
+        # combine_chunks COPIES the slice into fresh buffers: a plain
+        # slice would pin every read row group's full buffers in the
+        # cache for the reader's lifetime
+        sl = tbl.slice(lo - base, hi - lo).combine_chunks()
         self._slice_cache[term] = sl
         return sl
-
-    def term_rows(self, term: int) -> list[dict]:
-        sl = self.term_slice(term)
-        return sl.to_pylist() if sl is not None else []
-
-    def term_row(self, term: int) -> dict | None:
-        rows = self.term_rows(term)
-        return rows[0] if rows else None
 
     def docs(self) -> pa.Table:
         if self._docs_tbl is None:
@@ -313,12 +308,23 @@ class IndexReader:
         if not hasattr(self, "_chunk_dl_cache"):
             ids, spans, dls = [], [], []
             for _si, d in self._docs_tables():
+                if "chunk_dl" not in d.column_names:
+                    # pre-sidecar generation: those docs' postings
+                    # carry dl in-stream and never consult this space
+                    continue
                 ids.append(d["doc_id"].to_numpy().astype(np.uint64))
                 span_col = "chunk_span" if "chunk_span" in d.column_names else "n_chunks"
                 spans.append(d[span_col].to_numpy().astype(np.int64))
                 col = d["chunk_dl"]
                 arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
                 dls.append(arr.flatten().to_numpy(zero_copy_only=False))
+            if not ids:
+                self._chunk_dl_cache = (
+                    np.empty(0, np.uint64),
+                    np.zeros(1, np.int64),
+                    np.empty(0, np.uint64),
+                )
+                return self._chunk_dl_cache
             doc_ids = np.concatenate(ids)
             span = np.concatenate(spans)
             flat = np.concatenate(dls).astype(np.uint64)
@@ -339,11 +345,19 @@ class IndexReader:
         return self._chunk_dl_cache
 
     def _chunk_dls(self, doc_ids: np.ndarray, chunk_ids: np.ndarray) -> np.ndarray:
-        """Per-pair dl gather from the sidecar chunk-dl space."""
+        """Per-pair dl gather from the sidecar chunk-dl space. Raises
+        on any miss — a silent wrong-dl would corrupt BM25 scores
+        undetectably (same contract as _DocMeta.indices_of)."""
         ids, base, flat = self._chunk_dl_space()
+        if ids.size == 0:
+            raise KeyError("no chunk_dl sidecars for sidecar-dl postings")
         idx = np.minimum(np.searchsorted(ids, doc_ids), ids.size - 1)
+        if not (ids[idx] == doc_ids).all():
+            raise KeyError("doc_id missing from chunk-dl space")
         key = base[idx] + chunk_ids.astype(np.int64)
-        return flat[np.minimum(key, flat.size - 1)]
+        if (chunk_ids.astype(np.int64) >= (base[idx + 1] - base[idx])).any():
+            raise KeyError("chunk_id beyond its doc's chunk span")
+        return flat[key]
 
     def _pairs_tfdl(
         self, g: int, d: np.ndarray, c: np.ndarray
@@ -658,6 +672,17 @@ class IndexReader:
 
         with ThreadPoolExecutor(max_workers=8) as ex:
             list(ex.map(warm_one, todo))
+        if use_dense:
+            # same warm representation as the parallel path: sorted
+            # key/contrib arrays + hot-term vectors, then the optional
+            # persisted cache (QueryActor's in-actor prewarm runs HERE
+            # with parallel=False — persist must work on this path)
+            for t in todo:
+                self._sorted_keys(t)
+                if totals.get(t, 0) >= self._vec_min:
+                    self._dense_vec(t)
+            if persist and self._sorted_kc:
+                self._save_warmcache()
         return len(todo)
 
     # -- candidate kernel (X1) ---------------------------------------------

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -28,7 +29,8 @@ def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_quantity", "count")]
+            [("l_quantity", "sum"),
+             ("l_quantity", "count", pc.CountOptions(mode="all"))]
         )
         return g.rename_columns(
             ["l_returnflag", "l_linestatus", "psum", "pcount"]
@@ -60,7 +62,11 @@ def _combine(keys: list[str], count_col: str):
     orders of magnitude slower on string keys."""
 
     def partial(b: pa.Table) -> pa.Table:
-        g = b.group_by(keys).aggregate([(count_col, "count")])
+        # mode="all": count rows like SQL count(*) — plain "count"
+        # counts non-null values and would diverge from the oracles
+        g = b.group_by(keys).aggregate(
+            [(count_col, "count", pc.CountOptions(mode="all"))]
+        )
         return g.rename_columns(keys + ["pcount"])
 
     return partial
@@ -141,7 +147,8 @@ def orders_per_nation(
 def events_by_type(events: ray.data.Dataset) -> ray.data.Dataset:
     def partial(b: pa.Table) -> pa.Table:
         g = b.group_by("event_type").aggregate(
-            [("value", "count"), ("value", "min"), ("value", "max")]
+            [("value", "count", pc.CountOptions(mode="all")),
+             ("value", "min"), ("value", "max")]
         )
         return g.rename_columns(["event_type", "pcount", "pmin", "pmax"])
 

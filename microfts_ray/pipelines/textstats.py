@@ -65,7 +65,11 @@ def term_df(ds: ray.data.Dataset) -> ray.data.Dataset:
             terms.append(sorted(set(word_tokens(t))))
         flat = [x for ts in terms for x in ts]
         tbl = pa.table({"term": pa.array(flat, pa.string())})
-        g = tbl.group_by("term").aggregate([("term", "count")])
+        import pyarrow.compute as pc
+
+        g = tbl.group_by("term").aggregate(
+            [("term", "count", pc.CountOptions(mode="all"))]
+        )
         return g.rename_columns(["term", "pdf"])
 
     pairs = ds.map_batches(explode, batch_format="pyarrow")

@@ -279,7 +279,13 @@ def apply_update(
         )
         for part in plan_partitions(delta_paths, target_rows_per_part):
             part["pid"] = f"g{gen}-{part['pid']}"
-            entry = build_partition(part, index_dir, chunker)
+            # keep the INDEX's posting layout: pre-sidecar indexes
+            # store dl in-stream, so their deltas must too (a
+            # mixed-layout shard table would be undecodable)
+            entry = build_partition(
+                part, index_dir, chunker,
+                store_dl=manifest.get("dl_layout") != "sidecar",
+            )
             manifest["partitions"].append(
                 {k: entry[k] for k in ("pid", "lineage", "segment", "stats")}
             )
@@ -334,20 +340,26 @@ def delete_group_by_name(index_dir: str, group: str) -> dict:
     the display name 'repo/path@commit' against the INDEX (repo may
     itself contain '/', so the name alone is ambiguous) and tombstone
     the matching doc. Raises KeyError if no group matches."""
+    import pyarrow.compute as pc
+
     manifest = mf.load_manifest(index_dir)
     for rel, _si in mf.docs_sources(manifest):
         t = pq.read_table(
             os.path.join(index_dir, rel),
             columns=["doc_id", "repo", "path", "commit"],
         )
-        for d, r_, p_, c_ in zip(
-            t["doc_id"].to_numpy(),
-            t["repo"].to_pylist(),
-            t["path"].to_pylist(),
-            t["commit"].to_pylist(),
-        ):
-            if f"{r_}/{p_}@{c_}" == group:
-                return delete_doc(index_dir, r_, p_, c_)
+        joined = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(t["repo"], t["path"], "/"),
+            t["commit"], "@",
+        )
+        hit = pc.index(pc.equal(joined, group), True).as_py()
+        if hit >= 0:
+            return delete_doc(
+                index_dir,
+                t["repo"][hit].as_py(),
+                t["path"][hit].as_py(),
+                t["commit"][hit].as_py(),
+            )
     raise KeyError(f"no group named {group!r} in the index")
 
 

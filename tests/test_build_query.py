@@ -443,3 +443,29 @@ def test_query_actor_pool(reader, oracle):
     assert [(r["doc_id"], r["chunk_id"]) for r in a] == [
         (r["doc_id"], r["chunk_id"]) for r in b
     ]
+
+
+def test_prewarm_serial_path_builds_warm_set_and_persists(
+    corpus_dir, tmp_path_factory, oracle
+):
+    """The parallel=False branch (what QueryActor.__init__ runs) must
+    produce the same warm representation as the parallel path AND
+    honor persist — previously it silently skipped both."""
+    import glob
+    import os
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("serialwarm"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    r = IndexReader(idx)
+    n = r.prewarm(min_entries=100, parallel=False, persist=True)
+    assert n > 0 and r._sorted_kc
+    assert os.path.exists(os.path.join(idx, "warmcache", "meta.json"))
+    r2 = IndexReader(idx)
+    assert r2._load_warmcache()
+    got = r2.bm25_topk("def", k=10)
+    want = oracle.bm25_topk("def", k=10)
+    assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+        (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+    ]

@@ -161,3 +161,31 @@ def test_sidecar_dl_layout_roundtrip():
     tbl_full = encode_partition_runs(entries, store_dl=True)
     for col in ("doc_blob", "chunk_blob", "tf_blob", "bfirst_doc_blob"):
         assert tbl[col].to_pylist() == tbl_full[col].to_pylist()
+
+
+def test_mixed_dl_layout_raises():
+    """A terms table mixing in-stream-dl rows with sidecar-dl rows is
+    undecodable (per-row dl regions can't be told apart) — the bulk
+    decoder must fail loudly, never read one row's dl bytes as
+    another's. Layout mixing is prevented upstream by the manifest
+    dl_layout flag; this is the defense in depth."""
+    import pyarrow as pa
+    import pytest as _pt
+
+    from microfts_ray.functions.postings import decode_terms_table
+    from microfts_ray.pipelines.build import encode_partition_runs
+
+    rng = np.random.default_rng(9)
+    rows = 64
+    entries = {
+        "term": np.sort(rng.integers(0, 4, size=rows).astype(np.uint16)),
+        "doc_id": np.sort(rng.integers(0, 1 << 30, size=rows, dtype=np.uint64)),
+        "chunk_id": np.zeros(rows, dtype=np.uint64),
+        "tf": np.ones(rows, dtype=np.uint64),
+        "dl": rng.integers(1, 50, size=rows, dtype=np.uint64),
+    }
+    old = encode_partition_runs(entries, store_dl=True)
+    new = encode_partition_runs(entries, store_dl=False)
+    mixed = pa.concat_tables([old, new])
+    with _pt.raises(ValueError, match="mixed dl layouts"):
+        decode_terms_table(mixed)
