@@ -142,6 +142,50 @@ def q_search_count_by_lang(sf_dir: str) -> Any:
     return counts.map_batches(rename, batch_format="pyarrow")
 
 
+def q_search_file(sf_dir: str) -> pa.Table:
+    """File-level AND (X2, intersectFileGrams): docs containing BOTH
+    terms somewhere, with each term's first matching line."""
+    from microfts_ray.pipelines.docsearch import get_reader, hit_doc_ids
+
+    hits = get_reader(sf_dir).search_file("hash", "table")
+    ids = hit_doc_ids(hits)
+    rows = sorted(
+        (d, h["first_chunks"][0] + 1, h["first_chunks"][1] + 1)
+        for d, h in zip(ids, hits)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "first_hash": pa.array([r[1] for r in rows], pa.int64()),
+            "first_table": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def q_search_partial(sf_dir: str) -> pa.Table:
+    """Partial (substring) search mode (M7): docs with any chunk
+    containing the fragment, case-insensitive."""
+    from microfts_ray.pipelines.docsearch import get_reader, hit_doc_ids
+
+    hits = get_reader(sf_dir).search("tabl", partial=True)
+    ids = sorted(set(hit_doc_ids(hits)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def q_index_stats(sf_dir: str) -> pa.Table:
+    """DB-wide counts (S6/A4, cmdInfo): doc and chunk totals from the
+    built index's manifest."""
+    from microfts_ray.pipelines.docsearch import get_reader
+
+    g = get_reader(sf_dir).manifest["global"]
+    return pa.table(
+        {
+            "n_docs": pa.array([g["n_docs"]], pa.int64()),
+            "n_chunks": pa.array([g["n_chunks"]], pa.int64()),
+        }
+    )
+
+
 def q_term_df(sf_dir: str) -> Any:
     from microfts_ray.pipelines.textstats import term_df
 
@@ -338,6 +382,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_explode": q_doc_line_explode,
         "search_and": q_search_and,
         "search_count_by_lang": q_search_count_by_lang,
+        "search_file": q_search_file,
+        "index_stats": q_index_stats,
+        "search_partial": q_search_partial,
         "term_df": q_term_df,
         "token_count": q_token_count,
         "quality_stats": q_quality_stats,
@@ -424,6 +471,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, count(*) AS n_docs FROM documents WHERE "
             f"regexp_matches(text, '{_word_re('spark')}', 'i') "
             "GROUP BY lang ORDER BY lang"
+        ),
+        "search_file": (
+            # per-line first-match positions; the engine's line chunker
+            # drops the final (empty) fragment after the trailing \n,
+            # which can never match, so splitting keeps parity
+            "WITH lines AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "generate_subscripts(string_split(text, chr(10)), 1) AS ln "
+            "FROM documents) "
+            "SELECT doc_id, "
+            f"min(CASE WHEN regexp_matches(line, '{_word_re('hash')}', 'i') THEN ln END) AS first_hash, "
+            f"min(CASE WHEN regexp_matches(line, '{_word_re('table')}', 'i') THEN ln END) AS first_table "
+            "FROM lines GROUP BY doc_id "
+            "HAVING first_hash IS NOT NULL AND first_table IS NOT NULL "
+            "ORDER BY doc_id"
+        ),
+        "search_partial": (
+            "SELECT doc_id FROM documents WHERE "
+            "contains(lower(text), 'tabl') ORDER BY doc_id"
+        ),
+        "index_stats": (
+            # chunks per doc = lines of text+'\n' with the final empty
+            # fragment dropped = number of newline chars in text+'\n'
+            "SELECT count(*) AS n_docs, "
+            "CAST(sum(length(text || chr(10)) - "
+            "length(replace(text || chr(10), chr(10), ''))) AS BIGINT) "
+            "AS n_chunks FROM documents"
         ),
         "term_df": (
             "SELECT term, count(*) AS df FROM ("
