@@ -52,7 +52,13 @@ def add_chunk(
         "tf": tfs.astype(np.uint64),
         "dl": np.full(n, dl, dtype=np.uint64),
     }
-    terms_tbl = encode_partition_runs(entries)
+    # match the INDEX's posting layout (see pipelines/update.py): in
+    # the sidecar-dl layout the chunk's dl goes into the docs sidecar
+    terms_tbl = encode_partition_runs(
+        entries, store_dl=manifest.get("dl_layout") != "sidecar"
+    )
+    chunk_dl = np.zeros(chunk_id + 1, dtype=np.uint32)
+    chunk_dl[chunk_id] = dl
     docs = pa.table(
         {
             "doc_id": pa.array([doc_id], pa.uint64()),
@@ -63,6 +69,7 @@ def add_chunk(
             "n_chunks": pa.array([1], pa.int64()),
             "chunk_span": pa.array([chunk_id + 1], pa.int64()),
             "sum_dl": pa.array([dl], pa.int64()),
+            "chunk_dl": pa.array([chunk_dl.tolist()], pa.list_(pa.uint32())),
             "content_sha256": pa.array([corpus_sha256(data.decode("utf-8", "replace"))]),
             "src_rg": pa.array([-1], pa.int32()),
             "sub": pa.array([0], pa.int32()),
@@ -87,10 +94,21 @@ def add_chunk(
     }
     mf.write_part_checkpoint(index_dir, pid, entry)
     manifest["partitions"].append(entry)
+    # doc stats from the SIDECARS, not partition stats — compacted
+    # partitions carry zeroed doc stats (same rule as apply_update)
     agg = {
         k: int(sum(p["stats"][k] for p in manifest["partitions"]))
-        for k in ("n_docs", "n_chunks", "sum_dl", "n_terms", "n_postings")
+        for k in ("n_terms", "n_postings")
     }
+    for k in ("n_docs", "n_chunks", "sum_dl"):
+        agg[k] = 0
+    for rel, _si in mf.docs_sources(manifest):
+        t = pq.read_table(
+            os.path.join(index_dir, rel), columns=["n_chunks", "sum_dl"]
+        )
+        agg["n_docs"] += int(t.num_rows)
+        agg["n_chunks"] += int(pa.compute.sum(t["n_chunks"]).as_py() or 0)
+        agg["sum_dl"] += int(pa.compute.sum(t["sum_dl"]).as_py() or 0)
     manifest["global"] = {
         **agg, "avgdl": (agg["sum_dl"] / agg["n_chunks"]) if agg["n_chunks"] else 0.0
     }

@@ -469,3 +469,33 @@ def test_prewarm_serial_path_builds_warm_set_and_persists(
     assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
         (h["doc_id"], h["chunk_id"], h["score"]) for h in want
     ]
+
+
+def test_custom_chunk_bm25_dl_gather(corpus_dir, tmp_path_factory):
+    """A custom-gram chunk (cmdChunk) under the sidecar-dl layout:
+    its dl must come back through the chunk-dl gather so BM25 over
+    the custom term scores with the declared chunk length."""
+    import glob
+
+    from microfts_ray.functions.grams import gram_from_str
+    from microfts_ray.pipelines.custom import add_chunk
+    from microfts_ray.stages.tokenize import doc_id_for
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("customdl"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    g = gram_from_str("zq9")  # a gram absent from the corpus
+    add_chunk(idx, "org0000/proj0", "custom.bin", "f" * 40, [g, g, g])
+    r = IndexReader(idx)
+    run = r.term_postings(g)
+    did = doc_id_for("org0000/proj0", "custom.bin", "f" * 40)
+    assert len(run) == 1 and int(run.doc_ids[0]) == did
+    assert int(run.tfs[0]) == 3 and int(run.dls[0]) == 3  # dl via sidecar gather
+    # custom chunks surface through candidates/bm25, not verified search
+    from microfts_ray.functions.grams import gram_set
+
+    cand = r.candidates({g})
+    assert cand is not None and len(cand) == 1
+    # stats recompute stayed sidecar-based (post-compact safe)
+    assert r.manifest["global"]["n_docs"] == N_FILES + 1
