@@ -90,3 +90,67 @@ def test_gram_string_roundtrip_prop(g):
     assert gram_to_str(g2) == gram_to_str(g2)  # stable
     if "." not in s[:2]:  # no leading boundary: exact round-trip
         assert g2 == g
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=(1 << 61) - 2),
+    st.integers(min_value=0, max_value=(1 << 61) - 2),
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 61) - 2), min_size=1, max_size=50
+    ),
+)
+def test_modmul_add_exact_prop(a, b, xs):
+    """Vectorized (a*x+b) mod 2^61-1 == Python bigint arithmetic."""
+    from microfts_ray.pipelines.dedup import _MERSENNE, _modmul_add
+
+    x = np.array(xs, dtype=np.uint64)
+    got = _modmul_add(np.uint64(a), np.uint64(b), x)
+    want = [(a * int(v) + b) % _MERSENNE for v in xs]
+    assert got.tolist() == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1 << 40),  # doc
+            st.integers(min_value=0, max_value=500),  # chunk
+            st.integers(min_value=1, max_value=200),  # tf
+            st.integers(min_value=1, max_value=5000),  # dl
+        ),
+        min_size=1,
+        max_size=400,
+    ),
+    st.sets(st.integers(min_value=0, max_value=7), min_size=1, max_size=4),
+)
+def test_decode_run_blocks_matches_full_prop(rows, blocks):
+    """Block-selective decode == the corresponding slices of a full
+    decode, for arbitrary runs and block subsets."""
+    from microfts_ray.functions.postings import (
+        BLOCK,
+        decode_run,
+        decode_run_blocks,
+        encode_run,
+    )
+
+    rows = sorted(set(rows))
+    doc = np.array([r[0] for r in rows], dtype=np.uint64)
+    chunk = np.array([r[1] for r in rows], dtype=np.uint64)
+    tf = np.array([r[2] for r in rows], dtype=np.uint64)
+    dl = np.array([r[3] for r in rows], dtype=np.uint64)
+    enc = encode_run(doc, chunk, tf, dl)
+    full = decode_run(enc)
+    n = len(rows)
+    nblk = (n + BLOCK - 1) // BLOCK
+    sel = sorted(b for b in blocks if b < nblk)
+    if not sel:
+        sel = [0]
+    bdoc, bchunk, btf, bdl = decode_run_blocks(enc, np.array(sel))
+    want_idx = np.concatenate(
+        [np.arange(b * BLOCK, min((b + 1) * BLOCK, n)) for b in sel]
+    )
+    assert (bdoc == full.doc_ids[want_idx]).all()
+    assert (bchunk == full.chunk_ids[want_idx]).all()
+    assert (btf == full.tfs[want_idx]).all()
+    assert (bdl == full.dls[want_idx]).all()
