@@ -286,6 +286,73 @@ def decode_terms_table(tbl, dict_resolver=None) -> dict:
     }
 
 
+def build_chunk_dl_space(
+    ids_list: list[np.ndarray],
+    span_list: list[np.ndarray],
+    dl_list: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(sorted unique doc_ids, span base, flat per-chunk dl) — the dl
+    lookup space for the sidecar-dl layout, shared by the query reader
+    and the rewrite-merge dl gather.
+
+    Duplicate doc rows (add_chunk writes one DELTA row per custom
+    chunk: zeros except the new slot) coalesce by per-slot MAX over
+    the doc's rows, span = max row span."""
+    if not ids_list:
+        return (
+            np.empty(0, np.uint64),
+            np.zeros(1, np.int64),
+            np.empty(0, np.uint64),
+        )
+    doc_ids = np.concatenate(ids_list)
+    span = np.concatenate(span_list).astype(np.int64)
+    flat = np.concatenate(dl_list).astype(np.uint64)
+    order = np.argsort(doc_ids, kind="stable")
+    starts = np.zeros(doc_ids.size + 1, dtype=np.int64)
+    np.cumsum(span, out=starts[1:])
+    seg_starts = starts[:-1][order]
+    seg_lens = span[order]
+    sorted_ids = doc_ids[order]
+    total = int(seg_lens.sum())
+    intra = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(seg_lens) - seg_lens, seg_lens
+    )
+    if sorted_ids.size > 1 and (sorted_ids[1:] == sorted_ids[:-1]).any():
+        uniq, inv = np.unique(sorted_ids, return_inverse=True)
+        max_span = np.zeros(uniq.size, dtype=np.int64)
+        np.maximum.at(max_span, inv, seg_lens)
+        base = np.zeros(uniq.size + 1, dtype=np.int64)
+        np.cumsum(max_span, out=base[1:])
+        out = np.zeros(int(base[-1]), dtype=np.uint64)
+        src = np.repeat(seg_starts, seg_lens) + intra
+        dst = np.repeat(base[:-1][inv], seg_lens) + intra
+        np.maximum.at(out, dst, flat[src])
+        return uniq, base, out
+    idx = np.repeat(seg_starts, seg_lens) + intra
+    base = np.zeros(doc_ids.size + 1, dtype=np.int64)
+    np.cumsum(seg_lens, out=base[1:])
+    return sorted_ids, base, flat[idx]
+
+
+def gather_chunk_dls(
+    space: tuple[np.ndarray, np.ndarray, np.ndarray],
+    doc_ids: np.ndarray,
+    chunk_ids: np.ndarray,
+) -> np.ndarray:
+    """Per-pair dl gather from a chunk-dl space. Raises on any miss —
+    a silent wrong-dl would corrupt BM25 scores undetectably."""
+    ids, base, flat = space
+    if ids.size == 0:
+        raise KeyError("no chunk_dl sidecars for sidecar-dl postings")
+    idx = np.minimum(np.searchsorted(ids, doc_ids), ids.size - 1)
+    if not (ids[idx] == doc_ids).all():
+        raise KeyError("doc_id missing from chunk-dl space")
+    key = base[idx] + chunk_ids.astype(np.int64)
+    if (chunk_ids.astype(np.int64) >= (base[idx + 1] - base[idx])).any():
+        raise KeyError("chunk_id beyond its doc's chunk span")
+    return flat[key]
+
+
 def merge_runs(runs: list[PostingRun]) -> PostingRun:
     """K-way merge of doc-disjoint runs into one run sorted by
     (doc_id, chunk_id). Vectorized: concatenate + stable lexsort.

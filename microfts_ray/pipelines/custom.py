@@ -102,13 +102,19 @@ def add_chunk(
     }
     for k in ("n_docs", "n_chunks", "sum_dl"):
         agg[k] = 0
+    # multi-chunk custom groups write one DELTA row per add_chunk:
+    # n_chunks/sum_dl sum correctly across rows, but n_docs must count
+    # DISTINCT doc_ids (readers coalesce the duplicate rows)
+    all_ids = []
     for rel, _si in mf.docs_sources(manifest):
         t = pq.read_table(
-            os.path.join(index_dir, rel), columns=["n_chunks", "sum_dl"]
+            os.path.join(index_dir, rel), columns=["doc_id", "n_chunks", "sum_dl"]
         )
-        agg["n_docs"] += int(t.num_rows)
+        all_ids.append(t["doc_id"].to_numpy())
         agg["n_chunks"] += int(pa.compute.sum(t["n_chunks"]).as_py() or 0)
         agg["sum_dl"] += int(pa.compute.sum(t["sum_dl"]).as_py() or 0)
+    if all_ids:
+        agg["n_docs"] = int(np.unique(np.concatenate(all_ids)).size)
     manifest["global"] = {
         **agg, "avgdl": (agg["sum_dl"] / agg["n_chunks"]) if agg["n_chunks"] else 0.0
     }

@@ -103,9 +103,11 @@ def index_info(index_dir: str, grams: bool = False, groups: bool = False) -> dic
     if groups:
         rows = []
         tombs = set(manifest.get("tombstones", []))
-        for p in manifest["partitions"]:
+        # iterate docs_sources, not partitions: compact-promoted
+        # partitions carry no "docs" key (docs move to docs_files)
+        for rel, _si in mf.docs_sources(manifest):
             t = pq.read_table(
-                os.path.join(index_dir, p["segment"]["docs"]),
+                os.path.join(index_dir, rel),
                 columns=["doc_id", "repo", "path", "commit", "n_chunks"],
             )
             for r in t.to_pylist():

@@ -102,6 +102,28 @@ def make_dict_resolver(index_dir: str, manifest: dict):
     return resolve
 
 
+def make_dl_space(index_dir: str, manifest: dict):
+    """Chunk-dl lookup space from the docs sidecars (sidecar-dl
+    layout), for the rewrite-merge dl gather. None if no sidecar
+    carries chunk_dl (old in-stream-dl generations)."""
+    from ..functions.postings import build_chunk_dl_space
+
+    ids, spans, dls = [], [], []
+    for rel, _si in mf.docs_sources(manifest):
+        d = pq.read_table(os.path.join(index_dir, rel))
+        if "chunk_dl" not in d.column_names:
+            continue
+        ids.append(d["doc_id"].to_numpy().astype(np.uint64))
+        span_col = "chunk_span" if "chunk_span" in d.column_names else "n_chunks"
+        spans.append(d[span_col].to_numpy().astype(np.int64))
+        col = d["chunk_dl"]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        dls.append(arr.flatten().to_numpy(zero_copy_only=False))
+    if not ids:
+        return None
+    return build_chunk_dl_space(ids, spans, dls)
+
+
 def write_shard_table(
     index_dir: str,
     shard: int,
@@ -112,6 +134,7 @@ def write_shard_table(
     deleted_docs: np.ndarray | None = None,
     mode: str = "stack",
     dict_resolver=None,
+    dl_space=None,
 ) -> dict:
     """Sort/encode one shard's rows and write its file atomically;
     records the per-shard checkpoint."""
@@ -143,6 +166,15 @@ def write_shard_table(
             (entries["chunk_id"], entries["doc_id"], entries["term"])
         )
         entries = {c: v[order] for c, v in entries.items()}
+        if not dec["has_dl"] and entries["term"].size and dl_space is not None:
+            # sidecar-dl inputs decode dl as zeros; gather REAL dls so
+            # the re-encoded per-block bmin_dl WAND bounds stay valid
+            # (zeros would silently destroy them on every compact)
+            from ..functions.postings import gather_chunk_dls
+
+            entries["dl"] = gather_chunk_dls(
+                dl_space, entries["doc_id"], entries["chunk_id"]
+            )
         # preserve the source layout: old inputs carry dl in-stream
         # (re-store it); sidecar-dl inputs stay dl-less
         out_tbl = encode_partition_runs(entries, store_dl=dec["has_dl"])
@@ -273,15 +305,15 @@ def merge_index(
 
         from microfts_ray.pipelines.merge import (
             make_dict_resolver as mdr,
+            make_dl_space as mds,
             write_shard_table as wst,
         )
         import microfts_ray.state.manifest as _mfmod
 
-        resolver = (
-            mdr(index_dir, _mfmod.load_manifest(index_dir))
-            if mode == "rewrite" or dead is not None
-            else None
-        )
+        rewriting = mode == "rewrite" or dead is not None
+        _m = _mfmod.load_manifest(index_dir) if rewriting else None
+        resolver = mdr(index_dir, _m) if rewriting else None
+        dl_space = mds(index_dir, _m) if rewriting else None
         out = []
         for shard, lo, hi in zip(batch["shard"], batch["lo"], batch["hi"]):
             shard, lo, hi = int(shard), int(lo), int(hi)
@@ -318,6 +350,7 @@ def merge_index(
                 index_dir, shard, n_shards, lo, hi,
                 tbl if tbl is not None else _TS.empty_table(),
                 deleted_docs=dead, mode=mode, dict_resolver=resolver,
+                dl_space=dl_space,
             )
             out.append(e["stats"]["n_postings"])
         return {"shard": batch["shard"], "n_postings": np.array(out, dtype=np.int64)}

@@ -141,7 +141,12 @@ class IndexReader:
     (/root/reference/fts-lmdb.go:1046-1165).
     """
 
-    def __init__(self, index_dir: str, cache_entries: int = 150_000_000):
+    def __init__(
+        self,
+        index_dir: str,
+        cache_entries: int = 150_000_000,
+        vec_budget: int = 6 << 30,
+    ):
         self.index_dir = index_dir
         self.manifest = mf.load_manifest(index_dir)
         self.segments = [_Segment(index_dir, e) for e in self.manifest["partitions"]]
@@ -175,7 +180,10 @@ class IndexReader:
         self._vec_cache: dict[int, np.ndarray] = {}
         self._vec_bytes = 0
         self._vec_min = 300_000  # build a vector when a term has >= this many postings
-        self._vec_budget = 6 << 30  # bytes of dense vectors to hold
+        # bytes of dense f32 vectors to hold — PER READER, so a pool
+        # must divide the host budget by its actor count (QueryService
+        # does); vectors are private, only sorted_kc pages are shared
+        self._vec_budget = vec_budget
         # per-term (sorted dense keys, aligned f64 contribs): the warm
         # representation — powers dense scoring, counting intersection
         # and the exact-rescore gather without holding raw runs
@@ -306,6 +314,8 @@ class IndexReader:
         dense-accumulator cap; at true scale a serving shard holds
         only its doc range's slice."""
         if not hasattr(self, "_chunk_dl_cache"):
+            from ..functions.postings import build_chunk_dl_space
+
             ids, spans, dls = [], [], []
             for _si, d in self._docs_tables():
                 if "chunk_dl" not in d.column_names:
@@ -318,46 +328,16 @@ class IndexReader:
                 col = d["chunk_dl"]
                 arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
                 dls.append(arr.flatten().to_numpy(zero_copy_only=False))
-            if not ids:
-                self._chunk_dl_cache = (
-                    np.empty(0, np.uint64),
-                    np.zeros(1, np.int64),
-                    np.empty(0, np.uint64),
-                )
-                return self._chunk_dl_cache
-            doc_ids = np.concatenate(ids)
-            span = np.concatenate(spans)
-            flat = np.concatenate(dls).astype(np.uint64)
-            order = np.argsort(doc_ids, kind="stable")
-            # reorder the flat dl segments to the sorted doc order
-            starts = np.zeros(doc_ids.size + 1, dtype=np.int64)
-            np.cumsum(span, out=starts[1:])
-            seg_starts = starts[:-1][order]
-            seg_lens = span[order]
-            total = int(seg_lens.sum())
-            idx = np.repeat(seg_starts, seg_lens) + (
-                np.arange(total, dtype=np.int64)
-                - np.repeat(np.cumsum(seg_lens) - seg_lens, seg_lens)
-            )
-            base = np.zeros(doc_ids.size + 1, dtype=np.int64)
-            np.cumsum(seg_lens, out=base[1:])
-            self._chunk_dl_cache = (doc_ids[order], base, flat[idx])
+            self._chunk_dl_cache = build_chunk_dl_space(ids, spans, dls)
         return self._chunk_dl_cache
 
     def _chunk_dls(self, doc_ids: np.ndarray, chunk_ids: np.ndarray) -> np.ndarray:
         """Per-pair dl gather from the sidecar chunk-dl space. Raises
         on any miss — a silent wrong-dl would corrupt BM25 scores
         undetectably (same contract as _DocMeta.indices_of)."""
-        ids, base, flat = self._chunk_dl_space()
-        if ids.size == 0:
-            raise KeyError("no chunk_dl sidecars for sidecar-dl postings")
-        idx = np.minimum(np.searchsorted(ids, doc_ids), ids.size - 1)
-        if not (ids[idx] == doc_ids).all():
-            raise KeyError("doc_id missing from chunk-dl space")
-        key = base[idx] + chunk_ids.astype(np.int64)
-        if (chunk_ids.astype(np.int64) >= (base[idx + 1] - base[idx])).any():
-            raise KeyError("chunk_id beyond its doc's chunk span")
-        return flat[key]
+        from ..functions.postings import gather_chunk_dls
+
+        return gather_chunk_dls(self._chunk_dl_space(), doc_ids, chunk_ids)
 
     def _pairs_tfdl(
         self, g: int, d: np.ndarray, c: np.ndarray
@@ -451,9 +431,13 @@ class IndexReader:
         return total
 
     def _warmcache_dir(self) -> str:
+        """CONTENT-ADDRESSED cache directory: keys/contribs/meta live
+        under warmcache/<manifest_sha>/ so a generation-B writer can
+        never interleave files with a generation-A reader (the three
+        separate atomic renames of the flat layout could)."""
         import os
 
-        return os.path.join(self.index_dir, "warmcache")
+        return os.path.join(self.index_dir, "warmcache", self._manifest_sha())
 
     def _manifest_sha(self) -> str:
         import hashlib
@@ -476,12 +460,15 @@ class IndexReader:
         meta_p = os.path.join(d, "meta.json")
         if not os.path.exists(meta_p):
             return False
-        with open(meta_p) as f:
-            meta = json.load(f)
-        if meta.get("manifest_sha") != self._manifest_sha():
-            return False  # stale cache from an older index generation
-        keys = np.load(os.path.join(d, "keys.npy"), mmap_mode="r")
-        contribs = np.load(os.path.join(d, "contribs.npy"), mmap_mode="r")
+        try:
+            with open(meta_p) as f:
+                meta = json.load(f)
+            if meta.get("manifest_sha") != self._manifest_sha():
+                return False  # stale cache from an older index generation
+            keys = np.load(os.path.join(d, "keys.npy"), mmap_mode="r")
+            contribs = np.load(os.path.join(d, "contribs.npy"), mmap_mode="r")
+        except OSError:
+            return False  # cache dir swept by a newer generation's writer
         offs = np.array(meta["offsets"], dtype=np.int64)
         for i, t in enumerate(meta["terms"]):
             sl = slice(offs[i], offs[i + 1])
@@ -516,6 +503,15 @@ class IndexReader:
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(d, "meta.json"))
+        # best-effort sweep of older generations' caches (inodes stay
+        # alive for anyone still mmapping them)
+        import shutil
+
+        parent = os.path.dirname(d)
+        for name in os.listdir(parent):
+            p = os.path.join(parent, name)
+            if p != d and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
 
     def prewarm(
         self,
@@ -536,7 +532,8 @@ class IndexReader:
         (measured 45 s -> 7 s at 200k files). Off by default: the
         ~1.7 GB cache write is only worth paying when more readers of
         this index generation will follow."""
-        if self._load_warmcache():
+
+        def _finish_from_cache() -> int:
             if self._dense_space() is not None:
                 for t, n in sorted(
                     self._term_len_cache.items(), key=lambda kv: -kv[1]
@@ -544,6 +541,71 @@ class IndexReader:
                     if n >= self._vec_min:
                         self._dense_vec(t)
             return len(self._sorted_kc)
+
+        if self._load_warmcache():
+            return _finish_from_cache()
+        lock_fd = None
+        if persist:
+            # first-writer election: exactly one process of a pool pays
+            # the decode+persist; the others poll for its cache and
+            # mmap it (without this, N pool actors race to each do the
+            # full decode — N× the cold-start cost for nothing)
+            lock_fd = self._try_warm_lock()
+            if lock_fd is None:
+                if self._wait_warmcache() and self._load_warmcache():
+                    return _finish_from_cache()
+                lock_fd = self._try_warm_lock()  # builder died: take over
+        try:
+            return self._prewarm_build(min_entries, parallel, persist)
+        finally:
+            if lock_fd is not None:
+                self._release_warm_lock(lock_fd)
+
+    def _try_warm_lock(self):
+        import os
+
+        path = self._warmcache_dir() + ".lock"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            return os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            import time
+
+            try:  # steal locks of long-dead builders
+                if time.time() - os.path.getmtime(path) > 900:
+                    os.unlink(path)
+                    return os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except OSError:
+                pass
+            return None
+
+    def _release_warm_lock(self, fd) -> None:
+        import os
+
+        os.close(fd)
+        try:
+            os.unlink(self._warmcache_dir() + ".lock")
+        except OSError:
+            pass
+
+    def _wait_warmcache(self, timeout: float = 900.0) -> bool:
+        import os
+        import time
+
+        meta_p = os.path.join(self._warmcache_dir(), "meta.json")
+        lock_p = self._warmcache_dir() + ".lock"
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if os.path.exists(meta_p):
+                return True
+            if not os.path.exists(lock_p):  # builder finished or died
+                return os.path.exists(meta_p)
+            time.sleep(0.25)
+        return False
+
+    def _prewarm_build(
+        self, min_entries: int, parallel: bool | None, persist: bool
+    ) -> int:
         totals: dict[int, int] = {}
         for seg in self.shards or self.segments:
             for t, n in zip(seg.terms.tolist(), seg.ns.tolist()):
@@ -1107,10 +1169,18 @@ class IndexReader:
             n_chunks = np.concatenate(chunks)
             order = np.argsort(doc_ids)
             doc_ids = doc_ids[order]
+            spans = n_chunks[order]
+            if doc_ids.size > 1 and (doc_ids[1:] == doc_ids[:-1]).any():
+                # duplicate doc rows (add_chunk deltas): one key range
+                # per doc, span = max row span — keys must be unique
+                doc_ids, inv = np.unique(doc_ids, return_inverse=True)
+                ms = np.zeros(doc_ids.size, dtype=np.int64)
+                np.maximum.at(ms, inv, spans.astype(np.int64))
+                spans = ms
             # global chunk offsets: key space = total chunks, not
             # docs x max-lines (3x smaller accumulators)
             base = np.zeros(doc_ids.size + 1, dtype=np.int64)
-            np.cumsum(n_chunks[order], out=base[1:])
+            np.cumsum(spans, out=base[1:])
             self._dense = (doc_ids, base)
         doc_ids, base = self._dense
         if base[-1] > cap:
@@ -1368,8 +1438,13 @@ class IndexReader:
             dsum, (tfsum,) = group_sum(run.doc_ids, run.tfs.astype(np.float64))
             df = dsum.size
             w = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
-            # sorted-array lookup (dsum is sorted by group_sum)
-            dl = dl_vals[np.searchsorted(dl_ids, dsum)].astype(np.float64)
+            # sorted-array lookup (dsum is sorted by group_sum);
+            # clamped + checked: a silent wrong-dl gather would corrupt
+            # scores undetectably (same contract as _chunk_dls)
+            di = np.minimum(np.searchsorted(dl_ids, dsum), max(dl_ids.size - 1, 0))
+            if dl_ids.size == 0 or not (dl_ids[di] == dsum).all():
+                raise KeyError("posting doc_id missing from docs sidecars")
+            dl = dl_vals[di].astype(np.float64)
             norm = K1 * (
                 1 - B + B * (dl / self.doc_avgdl if self.doc_avgdl else dl * 0.0)
             )
@@ -1409,7 +1484,15 @@ class IndexReader:
             a = np.concatenate(ids) if ids else np.empty(0, np.uint64)
             v = np.concatenate(dls) if dls else np.empty(0, np.int64)
             order = np.argsort(a, kind="stable")
-            self._doc_dl_cache = (a[order], v[order])
+            a, v = a[order], v[order]
+            if a.size > 1 and (a[1:] == a[:-1]).any():
+                # duplicate doc rows (add_chunk deltas): sum_dl per row
+                # is a delta, so the doc total is the SUM across rows
+                uniq, inv = np.unique(a, return_inverse=True)
+                vs = np.zeros(uniq.size, dtype=np.int64)
+                np.add.at(vs, inv, v)
+                a, v = uniq, vs
+            self._doc_dl_cache = (a, v)
         return self._doc_dl_cache
 
 
@@ -1419,8 +1502,10 @@ class QueryActor:
     stateful query-serving stage of the north_star. Deploy as
     `ray.remote(QueryActor)` via QueryService."""
 
-    def __init__(self, index_dir: str, prewarm: bool = True):
-        self.reader = IndexReader(index_dir)
+    def __init__(
+        self, index_dir: str, prewarm: bool = True, vec_budget: int = 6 << 30
+    ):
+        self.reader = IndexReader(index_dir, vec_budget=vec_budget)
         if prewarm:
             # in-actor prewarm stays sequential (the pool itself is
             # the parallelism; nested Ray tasks would oversubscribe).
@@ -1454,26 +1539,29 @@ class QueryService:
 
         pkg_root = _pkg_root()
 
-        def make(index_dir: str, prewarm: bool):
+        def make(index_dir: str, prewarm: bool, vec_budget: int):
             import sys
 
             if pkg_root not in sys.path:
                 sys.path.insert(0, pkg_root)
             from microfts_ray.pipelines.query import QueryActor as QA
 
-            return QA(index_dir, prewarm)
+            return QA(index_dir, prewarm, vec_budget=vec_budget)
 
         # wrap construction so workers bootstrap sys.path first
         @_ray.remote
         class _Actor:
-            def __init__(self, index_dir: str, prewarm: bool):
-                self.inner = make(index_dir, prewarm)
+            def __init__(self, index_dir: str, prewarm: bool, vec_budget: int):
+                self.inner = make(index_dir, prewarm, vec_budget)
 
             def call(self, method: str, args: tuple, kw: dict):
                 return getattr(self.inner, method)(*args, **kw)
 
+        # the dense-vector budget is a HOST budget: divide it across
+        # the pool so N actors can't hold N private full-size sets
+        vec_budget = (6 << 30) // max(1, n_actors)
         self._actors = [
-            _Actor.remote(index_dir, prewarm) for _ in range(n_actors)
+            _Actor.remote(index_dir, prewarm, vec_budget) for _ in range(n_actors)
         ]
         self._rr = 0
 

@@ -328,7 +328,7 @@ def test_warmcache_roundtrip_and_invalidation(corpus_dir, tmp_path_factory, orac
     build_index(paths, idx, target_rows_per_part=30)
     r1 = IndexReader(idx)
     n1 = r1.prewarm(min_entries=100, persist=True)
-    assert os.path.exists(os.path.join(idx, "warmcache", "meta.json"))
+    assert glob.glob(os.path.join(idx, "warmcache", "*", "meta.json"))  # content-addressed
     r2 = IndexReader(idx)
     n2 = r2.prewarm(min_entries=100)
     assert n2 > 0 and r2._sorted_kc  # warmed from the cache
@@ -461,7 +461,7 @@ def test_prewarm_serial_path_builds_warm_set_and_persists(
     r = IndexReader(idx)
     n = r.prewarm(min_entries=100, parallel=False, persist=True)
     assert n > 0 and r._sorted_kc
-    assert os.path.exists(os.path.join(idx, "warmcache", "meta.json"))
+    assert glob.glob(os.path.join(idx, "warmcache", "*", "meta.json"))  # content-addressed
     r2 = IndexReader(idx)
     assert r2._load_warmcache()
     got = r2.bm25_topk("def", k=10)
@@ -499,3 +499,45 @@ def test_custom_chunk_bm25_dl_gather(corpus_dir, tmp_path_factory):
     assert cand is not None and len(cand) == 1
     # stats recompute stayed sidecar-based (post-compact safe)
     assert r.manifest["global"]["n_docs"] == N_FILES + 1
+
+
+def test_custom_chunk_multi_add_same_group(corpus_dir, tmp_path_factory):
+    """ADVICE regression: a second add_chunk to the SAME group writes
+    a second (delta) docs-sidecar row for the same doc_id; the chunk-dl
+    space must coalesce the rows so every chunk stays queryable
+    (reference cmdChunk supports multiple chunks per group)."""
+    import glob
+
+    from microfts_ray.functions.grams import gram_from_str
+    from microfts_ray.pipelines.custom import add_chunk
+    from microfts_ray.pipelines.info import index_info
+    from microfts_ray.stages.tokenize import doc_id_for
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("custmulti"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    g0, g1 = gram_from_str("zq8"), gram_from_str("zq9")
+    add_chunk(idx, "org0000/proj0", "multi.bin", "f" * 40, [g0, g0], chunk_id=0)
+    add_chunk(idx, "org0000/proj0", "multi.bin", "f" * 40, [g1, g1, g1], chunk_id=1)
+    r = IndexReader(idx)
+    did = doc_id_for("org0000/proj0", "multi.bin", "f" * 40)
+    run0 = r.term_postings(g0)  # raised KeyError before the coalesce fix
+    run1 = r.term_postings(g1)
+    assert [(int(run0.doc_ids[0]), int(run0.chunk_ids[0]), int(run0.dls[0]))] == [
+        (did, 0, 2)
+    ]
+    assert [(int(run1.doc_ids[0]), int(run1.chunk_ids[0]), int(run1.dls[0]))] == [
+        (did, 1, 3)
+    ]
+    # the doc counts ONCE in global stats; chunks/dl sum across rows
+    g = r.manifest["global"]
+    assert g["n_docs"] == N_FILES + 1
+    # dense/candidate paths stay consistent (unique dense keys)
+    cand = r.candidates({g0})
+    assert cand is not None and len(cand) == 1 and int(cand.chunk_ids[0]) == 0
+    cand1 = r.candidates({g1})
+    assert cand1 is not None and len(cand1) == 1 and int(cand1.chunk_ids[0]) == 1
+    # doc-level BM25 dl lookup coalesces the delta rows too
+    top = r.bm25_topk_docs("zq9zq9", k=5)
+    assert any(t["doc_id"] == did for t in top) or top == []

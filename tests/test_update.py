@@ -181,3 +181,54 @@ def test_delete_group_by_name_with_slashy_repo(setup):
 
     with _pt.raises(KeyError):
         delete_group_by_name(idx, "nope/nope@nope")
+
+
+def test_info_groups_after_compact(setup):
+    """index_info(groups=True) must list live groups on a compacted
+    index (compact-promoted partitions carry no 'docs' key — the
+    listing iterates docs_sources, regression: KeyError)."""
+    from microfts_ray.pipelines.info import index_info
+
+    rows, src, idx, tmp = setup
+    delete_doc(idx, rows[0]["repo"], rows[0]["path"], rows[0]["commit"])
+    compact(idx, n_shards=4)
+    info = index_info(idx, groups=True)
+    assert len(info["groups"]) == len(rows) - 1
+    assert not any(g["deleted"] for g in info["groups"])
+    names = {g["group"] for g in info["groups"]}
+    assert f"{rows[1]['repo']}/{rows[1]['path']}@{rows[1]['commit']}" in names
+
+
+def test_rewrite_merge_preserves_bmin_dl(setup):
+    """Rewrite-merge (compact) over sidecar-dl inputs must re-encode
+    per-block bmin_dl from REAL chunk dls, not the decoded zeros —
+    persisted WAND bounds must never be silently wrong."""
+    import numpy as np
+
+    from microfts_ray.functions.grams import gram_from_str
+    from microfts_ray.functions.postings import BLOCK, decode_block_meta
+    from microfts_ray.oracle import gram_set
+
+    rows, src, idx, tmp = setup
+    compact(idx, n_shards=4)  # rewrite-merge path
+    reader = IndexReader(idx)
+    assert reader.manifest.get("dl_layout") == "sidecar"
+    g = sorted(gram_set("def"))[0]
+    seg = reader._term_sources(g)[0]
+    sl = seg.term_slice(g)
+    assert sl is not None and sl.num_rows == 1  # one run per term post-rewrite
+    row = sl.to_pylist()[0]
+    assert len(row["dl_blob"]) == 0  # still sidecar-dl
+    bmax_tf, bmin_dl, _ = decode_block_meta(row)
+    run = reader.term_postings(g)  # dls gathered from sidecars
+    n = len(run)
+    want_min = [
+        int(run.dls[b * BLOCK : min((b + 1) * BLOCK, n)].min())
+        for b in range((n + BLOCK - 1) // BLOCK)
+    ]
+    want_max = [
+        int(run.tfs[b * BLOCK : min((b + 1) * BLOCK, n)].max())
+        for b in range((n + BLOCK - 1) // BLOCK)
+    ]
+    assert bmin_dl.tolist() == want_min and min(want_min) > 0
+    assert bmax_tf.tolist() == want_max
