@@ -289,6 +289,15 @@ def _tokenize_ranges(
     rg_rows = [f.metadata.row_group(i).num_rows for i in rgs]
     src_rg = np.repeat(np.array(rgs, dtype=np.int32), rg_rows)
     docs = docs.append_column("src_rg", pa.array(src_rg, type=pa.int32()))
+    # row position WITHIN the row group: text recovery reads only the
+    # content column and takes rows by position — no id-column reads,
+    # no per-row re-hashing (chunk_texts fast path)
+    src_row = (
+        np.concatenate([np.arange(n, dtype=np.int32) for n in rg_rows])
+        if rg_rows
+        else np.empty(0, dtype=np.int32)
+    )
+    docs = docs.append_column("src_row", pa.array(src_row, type=pa.int32()))
     docs = docs.append_column(
         "sub", pa.array(np.full(docs.num_rows, sub, dtype=np.int32), pa.int32())
     )

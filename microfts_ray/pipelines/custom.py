@@ -72,6 +72,7 @@ def add_chunk(
             "chunk_dl": pa.array([chunk_dl.tolist()], pa.list_(pa.uint32())),
             "content_sha256": pa.array([corpus_sha256(data.decode("utf-8", "replace"))]),
             "src_rg": pa.array([-1], pa.int32()),
+            "src_row": pa.array([-1], pa.int32()),
             "sub": pa.array([0], pa.int32()),
             "src_path": pa.array([""], pa.string()),
         }

@@ -53,11 +53,12 @@ class _DocMeta:
     searchsorted lookup, Arrow string columns (zero Python objects
     held) read lazily per lookup."""
 
-    __slots__ = ("ids", "src_rg", "repo", "path", "commit", "src_path")
+    __slots__ = ("ids", "src_rg", "src_row", "repo", "path", "commit", "src_path")
 
-    def __init__(self, ids, src_rg, repo, path, commit, src_path):
+    def __init__(self, ids, src_rg, src_row, repo, path, commit, src_path):
         self.ids = ids
         self.src_rg = src_rg
+        self.src_row = src_row  # row position within src_rg; -1 = unknown
         self.repo = repo
         self.path = path
         self.commit = commit
@@ -168,6 +169,8 @@ class IndexReader:
         self.doc_avgdl = g["sum_dl"] / g["n_docs"] if g["n_docs"] else 0.0
         self._doc_meta: _DocMeta | None = None
         self._content_cache: dict[int, str] = {}
+        self._content_chars = 0  # bounded: cleared past the cap
+        self._content_chars_cap = 1 << 31
         # decoded-run LRU (hot grams dominate query cost)
         self._run_cache: dict[int, PostingRun] = {}
         self._run_cache_entries = 0
@@ -823,8 +826,16 @@ class IndexReader:
                     d = d.append_column(
                         "src_path", pa.array([""] * d.num_rows, pa.string())
                     )
+                if "src_row" not in d.column_names:  # pre-r3 generation
+                    d = d.append_column(
+                        "src_row",
+                        pa.array(np.full(d.num_rows, -1, np.int32), pa.int32()),
+                    )
                 tables.append(
-                    d.select(["doc_id", "repo", "path", "commit", "src_rg", "src_path"])
+                    d.select(
+                        ["doc_id", "repo", "path", "commit", "src_rg", "src_row",
+                         "src_path"]
+                    )
                 )
             t = pa.concat_tables(tables)
             ids = t["doc_id"].to_numpy()
@@ -833,6 +844,7 @@ class IndexReader:
             self._doc_meta = _DocMeta(
                 ids[order].astype(np.uint64),
                 t["src_rg"].to_numpy().astype(np.int64),
+                t["src_row"].to_numpy().astype(np.int64),
                 t.column("repo").combine_chunks(),
                 t.column("path").combine_chunks(),
                 t.column("commit").combine_chunks(),
@@ -868,70 +880,45 @@ class IndexReader:
 
     def chunk_texts(self, doc_ids: np.ndarray, chunk_ids: np.ndarray) -> list[str]:
         """J3: re-read candidate docs' content from the SOURCE parquet
-        (the reference re-reads source files, README.org:213) — only
-        the row groups containing candidates, grouped per source."""
+        (the reference re-reads source files, README.org:213).
+
+        Fast path (indexes with src_row lineage): per source file, ONE
+        content-column read of the needed row groups + a positional
+        take — no id-column reads, no per-row hashing, fully
+        vectorized on both sides. Old indexes without src_row fall
+        back to the id-matching read."""
         meta = self._load_doc_meta()
-        need: dict[tuple[str, int], list[int]] = {}
-        for d in set(int(x) for x in doc_ids):
-            if d in self._content_cache:
-                continue
-            i = meta.index_of(d)
-            src_rg = int(meta.src_rg[i])
-            src_path = meta.src_path[i].as_py()
-            if src_rg < 0 or not src_path:  # custom chunk: no source text
-                self._content_cache[d] = ""
-                continue
-            need.setdefault((src_path, src_rg), []).append(d)
-        import ray as _ray
-
-        if len(need) >= 8 and _ray.is_initialized():
-            # J3 at scale: candidate text recovery fans out as Ray
-            # tasks — each reads only its source row group
-            from .build import _pkg_root
-
-            pkg_root = _pkg_root()
-
-            def fetch(items: list) -> dict:
-                import sys
-
-                if pkg_root not in sys.path:
-                    sys.path.insert(0, pkg_root)
-                import pyarrow.parquet as _pq
-
-                from microfts_ray.stages.tokenize import doc_ids_column as dic
-
-                out = {}
-                for path, rg, wanted in items:
-                    tbl = _pq.ParquetFile(path).read_row_group(
-                        rg, columns=["repo", "path", "commit", "content"]
-                    )
-                    ids = dic(tbl["repo"], tbl["path"], tbl["commit"])
-                    wset = set(wanted)
-                    for i, did in enumerate(ids):
-                        if int(did) in wset:
-                            out[int(did)] = tbl["content"][i].as_py()
-                return out
-
-            remote = _ray.remote(num_cpus=1)(fetch)
-            items = [(p, rg, w) for (p, rg), w in need.items()]
-            n_tasks = min(16, len(items))
-            futs = [
-                remote.remote(items[i::n_tasks]) for i in range(n_tasks)
-            ]
-            for fut in futs:
-                self._content_cache.update(_ray.get(fut))
+        dq = np.asarray(doc_ids, dtype=np.uint64)
+        uniq = np.unique(dq) if dq.size else dq
+        if self._content_cache:
+            cached = self._content_cache
+            miss = np.fromiter(
+                (int(x) not in cached for x in uniq), bool, uniq.size
+            )
+            need_ids = uniq[miss]
         else:
-            from ..stages.tokenize import doc_ids_column
-
-            for (path, rg), wanted in need.items():
-                tbl = pq.ParquetFile(path).read_row_group(
-                    rg, columns=["repo", "path", "commit", "content"]
+            need_ids = uniq
+        if need_ids.size:
+            if self._content_chars > self._content_chars_cap:
+                self._content_cache.clear()
+                self._content_chars = 0
+            idx = meta.indices_of(need_ids)
+            src_rg = meta.src_rg[idx]
+            src_row = meta.src_row[idx]
+            paths_np = np.asarray(
+                meta.src_path.take(pa.array(idx)).to_pylist(), dtype=object
+            )
+            has_src = (src_rg >= 0) & (paths_np != "")
+            for d in need_ids[~has_src]:  # custom chunk: no source text
+                self._content_cache[int(d)] = ""
+            fast = has_src & (src_row >= 0)
+            slow = has_src & (src_row < 0)
+            if fast.any():
+                self._fetch_positional(
+                    need_ids[fast], paths_np[fast], src_rg[fast], src_row[fast]
                 )
-                ids = doc_ids_column(tbl["repo"], tbl["path"], tbl["commit"])
-                wset = set(wanted)
-                for i, did in enumerate(ids):
-                    if int(did) in wset:
-                        self._content_cache[int(did)] = tbl["content"][i].as_py()
+            if slow.any():
+                self._fetch_by_ids(need_ids[slow], paths_np[slow], src_rg[slow])
         out = []
         lines_by_doc: dict[int, list[str]] = {}  # split once per doc, not per hit
         for d, c in zip(doc_ids, chunk_ids):
@@ -942,6 +929,108 @@ class IndexReader:
                 lines_by_doc[di] = lines
             out.append(lines[int(c)] if int(c) < len(lines) else "")
         return out
+
+    def _cache_contents(self, ids, contents) -> None:
+        cc = self._content_cache
+        n = 0
+        for d, c in zip(ids, contents):
+            cc[int(d)] = c
+            n += len(c)
+        self._content_chars += n
+
+    def _fetch_positional(
+        self,
+        ids: np.ndarray,
+        paths: np.ndarray,
+        rgs: np.ndarray,
+        rows: np.ndarray,
+    ) -> None:
+        """Positional content recovery: per file, one content-only
+        read_row_groups + a vectorized take at (rg, row). Fans out as
+        Ray tasks (plain pyarrow closures — no package bootstrap)."""
+        codes_u, codes = np.unique(paths, return_inverse=True)
+        order = np.lexsort((rows, rgs, codes))
+        ids, rgs, rows, codes = ids[order], rgs[order], rows[order], codes[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1]))
+        )
+        bounds = np.concatenate((starts, [codes.size]))
+        items = []  # (path, rgs, rows, ids) per source file
+        total_rgs = 0
+        for k in range(starts.size):
+            s, e = int(bounds[k]), int(bounds[k + 1])
+            path = str(codes_u[codes[s]])
+            # chop a file's span into ~64-row-group chunks so the Ray
+            # fan-out stays balanced when one file holds most hits
+            rg_span = rgs[s:e]
+            cuts = [s]
+            uniq_rgs = np.unique(rg_span)
+            total_rgs += uniq_rgs.size
+            if uniq_rgs.size > 64:
+                for pos in range(64, uniq_rgs.size, 64):
+                    cuts.append(s + int(np.searchsorted(rg_span, uniq_rgs[pos])))
+            cuts.append(e)
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                if b > a:
+                    items.append((path, rgs[a:b], rows[a:b], ids[a:b]))
+
+        def fetch(batch: list) -> list:
+            import numpy as _np
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            out = []
+            for path, rg_a, row_a, id_a in batch:
+                f = _pq.ParquetFile(path)
+                u = _np.unique(rg_a)
+                tbl = f.read_row_groups([int(x) for x in u], columns=["content"])
+                nr = _np.array(
+                    [f.metadata.row_group(int(g)).num_rows for g in u],
+                    dtype=_np.int64,
+                )
+                off = _np.zeros(u.size, dtype=_np.int64)
+                _np.cumsum(nr[:-1], out=off[1:])
+                pos = off[_np.searchsorted(u, rg_a)] + row_a
+                vals = (
+                    tbl["content"].combine_chunks().take(_pa.array(pos)).to_pylist()
+                )
+                out.append((id_a, vals))
+            return out
+
+        import ray as _ray
+
+        if total_rgs >= 16 and len(items) > 1 and _ray.is_initialized():
+            remote = _ray.remote(num_cpus=1)(fetch)
+            n_tasks = min(16, len(items))
+            futs = [remote.remote(items[i::n_tasks]) for i in range(n_tasks)]
+            for fut in futs:
+                for id_a, vals in _ray.get(fut):
+                    self._cache_contents(id_a, vals)
+        else:
+            for id_a, vals in fetch(items):
+                self._cache_contents(id_a, vals)
+
+    def _fetch_by_ids(
+        self, ids: np.ndarray, paths: np.ndarray, rgs: np.ndarray
+    ) -> None:
+        """Fallback for pre-src_row indexes: read id columns per row
+        group and match by hashed doc id."""
+        from ..stages.tokenize import doc_ids_column
+
+        need: dict[tuple[str, int], list[int]] = {}
+        for d, p, rg in zip(ids, paths, rgs):
+            need.setdefault((str(p), int(rg)), []).append(int(d))
+        for (path, rg), wanted in need.items():
+            tbl = pq.ParquetFile(path).read_row_group(
+                rg, columns=["repo", "path", "commit", "content"]
+            )
+            rids = doc_ids_column(tbl["repo"], tbl["path"], tbl["commit"])
+            wset = set(wanted)
+            hit = [i for i, did in enumerate(rids) if int(did) in wset]
+            self._cache_contents(
+                [int(rids[i]) for i in hit],
+                [tbl["content"][i].as_py() for i in hit],
+            )
 
     def chunk_start(self, doc_id: int, chunk_id: int) -> int:
         """1-based character position of a chunk in its doc (the
@@ -970,26 +1059,29 @@ class IndexReader:
         # false positive in an early chunk consumes a slot even though
         # it fails verify.
         groups = self.doc_groups(cand.doc_ids)
-        triples = sorted(
-            zip(groups, (int(d) for d in cand.doc_ids),
-                (int(c) for c in cand.chunk_ids))
-        )
-        triples.sort(key=lambda t: (t[0], t[2]))
+        # vectorized ordering (group asc, chunk asc, doc asc) — the
+        # same kernel fuzzy() uses; a Python tuple sort over millions
+        # of candidate rows was a measured multi-second tax
+        names, codes = np.unique(np.array(groups, dtype=object), return_inverse=True)
+        order = np.lexsort((cand.doc_ids, cand.chunk_ids, codes))
+        d_arr = cand.doc_ids[order]
+        c_arr = cand.chunk_ids[order]
+        g_arr = codes[order]
         if limit_per_group is not None:
-            kept, counts = [], {}
-            for t in triples:
-                counts[t[0]] = counts.get(t[0], 0) + 1
-                if counts[t[0]] <= limit_per_group:
-                    kept.append(t)
-            triples = kept
-        if not triples:
+            # cumcount within each group run (arrays are group-sorted)
+            starts = np.flatnonzero(
+                np.concatenate(([True], g_arr[1:] != g_arr[:-1]))
+            )
+            sizes = np.diff(np.concatenate((starts, [g_arr.size])))
+            cumcount = np.arange(g_arr.size) - np.repeat(starts, sizes)
+            keep = cumcount < limit_per_group
+            d_arr, c_arr, g_arr = d_arr[keep], c_arr[keep], g_arr[keep]
+        if d_arr.size == 0:
             return []
-        d_arr = np.array([t[1] for t in triples], dtype=np.uint64)
-        c_arr = np.array([t[2] for t in triples], dtype=np.uint64)
         texts = self.chunk_texts(d_arr, c_arr)
         pat = re.compile(regexp_filter) if regexp_filter else None
         rows = []
-        for (grp, d, c), text in zip(triples, texts):
+        for g, d, c, text in zip(g_arr, d_arr, c_arr, texts):
             if pat is not None and not pat.search(text):
                 continue
             offsets = [has_arg(text, a, partial) for a in args]
@@ -997,10 +1089,10 @@ class IndexReader:
                 continue
             rows.append(
                 {
-                    "group": grp,
-                    "doc_id": d,
-                    "chunk_id": c,
-                    "line": c + 1,
+                    "group": names[g],
+                    "doc_id": int(d),
+                    "chunk_id": int(c),
+                    "line": int(c) + 1,
                     "offset": min(offsets),
                     "text": text,
                 }
