@@ -53,7 +53,10 @@ class _DocMeta:
     searchsorted lookup, Arrow string columns (zero Python objects
     held) read lazily per lookup."""
 
-    __slots__ = ("ids", "src_rg", "src_row", "repo", "path", "commit", "src_path")
+    __slots__ = (
+        "ids", "src_rg", "src_row", "repo", "path", "commit", "src_path",
+        "path_codes", "path_list",
+    )
 
     def __init__(self, ids, src_rg, src_row, repo, path, commit, src_path):
         self.ids = ids
@@ -63,6 +66,15 @@ class _DocMeta:
         self.path = path
         self.commit = commit
         self.src_path = src_path
+        # integer source-path codes: scan planning groups millions of
+        # candidate rows by source file — int compares, not object strs
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(src_path)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        self.path_codes = np.asarray(enc.indices, dtype=np.int64)
+        self.path_list = enc.dictionary.to_pylist()
 
     def index_of(self, doc_id: int) -> int:
         i = int(np.searchsorted(self.ids, np.uint64(doc_id)))
@@ -878,6 +890,28 @@ class IndexReader:
         )  # == group_name(repo, path, commit) per row
         return joined.to_pylist()
 
+    def doc_group_codes(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted unique group names, per-row codes): group strings
+        are built once per UNIQUE doc and row codes map through a
+        searchsorted — candidate lists run to millions of rows but
+        touch far fewer docs, so never materialize per-row strings."""
+        import pyarrow.compute as pc
+
+        dq = np.asarray(doc_ids, dtype=np.uint64)
+        if dq.size == 0:
+            return np.empty(0, object), np.empty(0, np.int64)
+        m = self._load_doc_meta()
+        uids, inv = np.unique(dq, return_inverse=True)
+        ii = pa.array(m.indices_of(uids))
+        joined = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(m.repo.take(ii), m.path.take(ii), "/"),
+            m.commit.take(ii),
+            "@",
+        )
+        unames = np.asarray(joined.to_pylist(), dtype=object)
+        names, ucodes = np.unique(unames, return_inverse=True)
+        return names, ucodes[inv]
+
     def chunk_texts(self, doc_ids: np.ndarray, chunk_ids: np.ndarray) -> list[str]:
         """J3: re-read candidate docs' content from the SOURCE parquet
         (the reference re-reads source files, README.org:213).
@@ -929,6 +963,211 @@ class IndexReader:
                 lines_by_doc[di] = lines
             out.append(lines[int(c)] if int(c) < len(lines) else "")
         return out
+
+    def scan_rows(
+        self,
+        doc_ids: np.ndarray,
+        chunk_ids: np.ndarray,
+        args: tuple = (),
+        partial: bool = False,
+        regexp_filter: str | None = None,
+        as_arrow: bool = False,
+    ) -> tuple[np.ndarray, np.ndarray, "list[str] | pa.Array"]:
+        """Distributed read+VERIFY over candidate chunk rows: each Ray
+        task reads its slice of source row groups (content column,
+        positional take), splits docs into lines, and verifies its
+        candidate rows in place — only surviving LINES ship back, not
+        full documents (shipping 100+ MB of doc texts through the
+        object store was the measured search_and regression).
+
+        Returns (sel, offsets, lines): ascending indices into the
+        input arrays of surviving rows, the per-row min has_arg
+        offset (0 when args is empty = no verification), and the
+        chunk's line text per surviving row."""
+        meta = self._load_doc_meta()
+        n = int(np.asarray(doc_ids).size)
+        if n == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64), []
+        dq = np.asarray(doc_ids, dtype=np.uint64)
+        cq = np.asarray(chunk_ids, dtype=np.int64)
+        midx = meta.indices_of(dq)
+        src_rg = meta.src_rg[midx]
+        src_row = meta.src_row[midx]
+        if (src_row < 0).any() and ((src_rg >= 0) & (src_row < 0)).any():
+            # legacy index without positional lineage: driver-side path
+            texts = self.chunk_texts(dq, cq)
+            pat = re.compile(regexp_filter) if regexp_filter else None
+            sel, offs, lines = [], [], []
+            for j, text in enumerate(texts):
+                if pat is not None and not pat.search(text):
+                    continue
+                ofs = [has_arg(text, a, partial) for a in args]
+                if any(o < 0 for o in ofs):
+                    continue
+                sel.append(j)
+                offs.append(min(ofs) if ofs else 0)
+                lines.append(text)
+            return (
+                np.array(sel, np.int64),
+                np.array(offs, np.int64),
+                pa.array(lines, pa.string()) if as_arrow else lines,
+            )
+
+        pcodes = meta.path_codes[midx]
+        has_src = src_rg >= 0  # custom chunks: src_rg == -1 AND src_path == ""
+        gpos_all = np.arange(n, dtype=np.int64)
+        out_parts: list[tuple[np.ndarray, np.ndarray, list[str]]] = []
+        if (~has_src).any() and not args and regexp_filter is None:
+            # custom chunks have no source text; they survive only the
+            # no-verify (fuzzy) mode, with empty text — same as before
+            ns = gpos_all[~has_src]
+            out_parts.append((ns, np.zeros(ns.size, np.int64), [""] * ns.size))
+
+        live = has_src
+        if not live.any():
+            merged = out_parts or [(np.empty(0, np.int64), np.empty(0, np.int64), [])]
+            sel = np.concatenate([m[0] for m in merged])
+            order = np.argsort(sel, kind="stable")
+            flat = [x for m in merged for x in m[2]]
+            offs = np.concatenate([m[1] for m in merged])
+            lines = [flat[i] for i in order]
+            return (
+                sel[order],
+                offs[order],
+                pa.array(lines, pa.string()) if as_arrow else lines,
+            )
+
+        gpos = gpos_all[live]
+        rgs = src_rg[live]
+        rows = src_row[live]
+        chunks = cq[live]
+        codes = pcodes[live]
+        order = np.lexsort((rows, rgs, codes))
+        gpos, rgs, rows, chunks, codes = (
+            gpos[order], rgs[order], rows[order], chunks[order], codes[order]
+        )
+        # unique-doc boundaries (per path, a doc == a (rg,row) pair)
+        new_doc = np.concatenate(
+            ([True],
+             (codes[1:] != codes[:-1])
+             | (rgs[1:] != rgs[:-1])
+             | (rows[1:] != rows[:-1]))
+        )
+        upos = np.cumsum(new_doc) - 1  # per-row index into unique docs
+        u_first = np.flatnonzero(new_doc)
+        u_codes = codes[u_first]
+        # per-path spans over UNIQUE docs, chopped to ~2048-doc items
+        items = []
+        p_starts = np.flatnonzero(
+            np.concatenate(([True], u_codes[1:] != u_codes[:-1]))
+        )
+        p_bounds = np.concatenate((p_starts, [u_codes.size]))
+        for k in range(p_starts.size):
+            us, ue = int(p_bounds[k]), int(p_bounds[k + 1])
+            path = meta.path_list[int(u_codes[us])]
+            for a in range(us, ue, 2048):
+                b = min(a + 2048, ue)
+                rs = int(u_first[a])
+                re_ = int(u_first[b]) if b < u_first.size else codes.size
+                items.append(
+                    (
+                        path,
+                        rgs[u_first[a:b]],          # unique-doc rgs
+                        rows[u_first[a:b]],         # unique-doc rows
+                        (upos[rs:re_] - a).astype(np.int64),  # cand -> local doc
+                        chunks[rs:re_],
+                        gpos[rs:re_],
+                    )
+                )
+
+        from .build import _pkg_root
+
+        pkg_root = _pkg_root()
+        pat_src = regexp_filter
+        args_t = tuple(args)
+        part_f = partial
+
+        def scan_task(batch: list) -> list:
+            import re as _re
+            import sys as _sys
+
+            if pkg_root not in _sys.path:
+                _sys.path.insert(0, pkg_root)
+            import numpy as _np
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            from microfts_ray.oracle import has_arg as _has
+            from microfts_ray.stages.tokenize import split_lines as _sl
+
+            pat = _re.compile(pat_src) if pat_src else None
+            out = []
+            for path, u_rg, u_row, c_upos, c_chunk, c_gpos in batch:
+                f = _pq.ParquetFile(path)
+                urgs = _np.unique(u_rg)
+                tbl = f.read_row_groups(
+                    [int(x) for x in urgs], columns=["content"]
+                )
+                nr = _np.array(
+                    [f.metadata.row_group(int(g)).num_rows for g in urgs],
+                    dtype=_np.int64,
+                )
+                off = _np.zeros(urgs.size, dtype=_np.int64)
+                _np.cumsum(nr[:-1], out=off[1:])
+                pos = off[_np.searchsorted(urgs, u_rg)] + u_row
+                docs = (
+                    tbl["content"].combine_chunks().take(_pa.array(pos)).to_pylist()
+                )
+                lines_by_doc: list = [None] * len(docs)
+                sel, offs, lines = [], [], []
+                for u, c, g in zip(c_upos, c_chunk, c_gpos):
+                    ls = lines_by_doc[u]
+                    if ls is None:
+                        ls = _sl(docs[u])
+                        lines_by_doc[u] = ls
+                    text = ls[int(c)] if int(c) < len(ls) else ""
+                    if pat is not None and not pat.search(text):
+                        continue
+                    ofs = [_has(text, a, part_f) for a in args_t]
+                    if any(o < 0 for o in ofs):
+                        continue
+                    sel.append(int(g))
+                    offs.append(min(ofs) if ofs else 0)
+                    lines.append(text)
+                out.append(
+                    (
+                        _np.array(sel, _np.int64),
+                        _np.array(offs, _np.int64),
+                        _pa.array(lines, _pa.string()),
+                    )
+                )
+            return out
+
+        import ray as _ray
+
+        if gpos.size >= 16384 and len(items) > 1 and _ray.is_initialized():
+            remote = _ray.remote(num_cpus=1)(scan_task)
+            n_tasks = min(16, len(items))
+            futs = [remote.remote(items[i::n_tasks]) for i in range(n_tasks)]
+            for fut in futs:
+                out_parts.extend(_ray.get(fut))
+        else:
+            out_parts.extend(scan_task(items))
+
+        if not out_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64), []
+        sel = np.concatenate([m[0] for m in out_parts])
+        offs = np.concatenate([m[1] for m in out_parts])
+        arrs = [
+            m[2] if isinstance(m[2], pa.Array) else pa.array(m[2], pa.string())
+            for m in out_parts
+        ]
+        lines_arr = pa.concat_arrays(arrs) if len(arrs) > 1 else arrs[0]
+        # vectorized reorder to input order: Arrow take + ONE to_pylist
+        # (a per-row Python gather over 1M+ lines was a measured tax)
+        order = np.argsort(sel, kind="stable")
+        taken = lines_arr.take(pa.array(order))
+        return sel[order], offs[order], taken if as_arrow else taken.to_pylist()
 
     def _cache_contents(self, ids, contents) -> None:
         cc = self._content_cache
@@ -1034,8 +1273,13 @@ class IndexReader:
 
     def chunk_start(self, doc_id: int, chunk_id: int) -> int:
         """1-based character position of a chunk in its doc (the
-        reference's POSITION printf arg, fts-lmdb.go:1386). Call after
-        chunk_texts so the content is cached."""
+        reference's POSITION printf arg, fts-lmdb.go:1386)."""
+        if int(doc_id) not in self._content_cache:
+            # self-sufficient: fetch this doc's content on demand
+            # (search no longer populates the content cache)
+            self.chunk_texts(
+                np.array([doc_id], np.uint64), np.array([chunk_id], np.uint64)
+            )
         content = self._content_cache.get(int(doc_id), "")
         lines = split_lines(content)
         return sum(len(l) + 1 for l in lines[: int(chunk_id)]) + 1
@@ -1058,11 +1302,10 @@ class IndexReader:
         # truncated to limit_per_group BEFORE verification — a gram
         # false positive in an early chunk consumes a slot even though
         # it fails verify.
-        groups = self.doc_groups(cand.doc_ids)
-        # vectorized ordering (group asc, chunk asc, doc asc) — the
-        # same kernel fuzzy() uses; a Python tuple sort over millions
-        # of candidate rows was a measured multi-second tax
-        names, codes = np.unique(np.array(groups, dtype=object), return_inverse=True)
+        # vectorized ordering (group asc, chunk asc, doc asc) — a
+        # Python tuple sort over millions of candidate rows was a
+        # measured multi-second tax
+        names, codes = self.doc_group_codes(cand.doc_ids)
         order = np.lexsort((cand.doc_ids, cand.chunk_ids, codes))
         d_arr = cand.doc_ids[order]
         c_arr = cand.chunk_ids[order]
@@ -1078,26 +1321,26 @@ class IndexReader:
             d_arr, c_arr, g_arr = d_arr[keep], c_arr[keep], g_arr[keep]
         if d_arr.size == 0:
             return []
-        texts = self.chunk_texts(d_arr, c_arr)
-        pat = re.compile(regexp_filter) if regexp_filter else None
-        rows = []
-        for g, d, c, text in zip(g_arr, d_arr, c_arr, texts):
-            if pat is not None and not pat.search(text):
-                continue
-            offsets = [has_arg(text, a, partial) for a in args]
-            if any(o < 0 for o in offsets):
-                continue
-            rows.append(
-                {
-                    "group": names[g],
-                    "doc_id": int(d),
-                    "chunk_id": int(c),
-                    "line": int(c) + 1,
-                    "offset": min(offsets),
-                    "text": text,
-                }
-            )
-        return rows
+        sel, offsets, lines = self.scan_rows(
+            d_arr, c_arr, args=args, partial=partial, regexp_filter=regexp_filter
+        )
+        # assembly over plain Python values (batch .tolist() beats
+        # per-row int()/indexing by ~3x at 100k+ rows)
+        g_l = names[g_arr[sel]].tolist()
+        d_l = d_arr[sel].tolist()
+        c_l = c_arr[sel].tolist()
+        o_l = offsets.tolist()
+        return [
+            {
+                "group": g,
+                "doc_id": di,
+                "chunk_id": ci,
+                "line": ci + 1,
+                "offset": o,
+                "text": text,
+            }
+            for g, di, ci, o, text in zip(g_l, d_l, c_l, o_l, lines)
+        ]
 
     def fuzzy(self, *args: str, threshold: float, sort_all: bool = False) -> list[dict]:
         """Fuzzy gram-overlap (fuzzyMatch, fts-lmdb.go:1530-1550)."""
@@ -1136,29 +1379,33 @@ class IndexReader:
         pct = n / len(grams)
         keep = pct >= threshold
         d, c, pct = d[keep], c[keep], pct[keep]
-        texts = self.chunk_texts(d, c)
-        groups = self.doc_groups(d)
-        # vectorized result ordering: group strings -> lexical codes
-        # (np.unique sorts), then one lexsort — a Python tuple-key
-        # sort over millions of hit rows was a multi-second tax
-        codes = np.zeros(len(groups), dtype=np.int64)
-        if groups:
-            _, codes = np.unique(np.array(groups, dtype=object), return_inverse=True)
+        # no-verify mode: all rows survive, lines stay in Arrow until
+        # the final ordered to_pylist
+        _, _, texts = self.scan_rows(d, c, as_arrow=True)
+        # vectorized result ordering: per-unique-doc group codes, one
+        # lexsort — a Python tuple-key sort over millions of hit rows
+        # was a multi-second tax
+        names, codes = self.doc_group_codes(d)
         pct100 = pct * 100.0
         if sort_all:
             order = np.lexsort((c, codes, pct100))
         else:
             order = np.lexsort((c, -pct100, codes))
+        g_l = names[codes[order]].tolist()
+        d_l = d[order].tolist()
+        c_l = c[order].tolist()
+        p_l = pct100[order].tolist()
+        t_l = texts.take(pa.array(order)).to_pylist() if len(texts) else []
         return [
             {
-                "group": groups[j],
-                "doc_id": int(d[j]),
-                "chunk_id": int(c[j]),
-                "line": int(c[j]) + 1,
-                "percent": float(pct100[j]),
-                "text": texts[j],
+                "group": g,
+                "doc_id": di,
+                "chunk_id": ci,
+                "line": ci + 1,
+                "percent": pi,
+                "text": t,
             }
-            for j in order
+            for g, di, ci, pi, t in zip(g_l, d_l, c_l, p_l, t_l)
         ]
 
     def search_file(self, *args: str, partial: bool = False) -> list[dict]:
@@ -1171,10 +1418,10 @@ class IndexReader:
             cand = self.candidates(gram_set(arg, partial=partial))
             if cand is None:
                 return []
-            texts = self.chunk_texts(cand.doc_ids, cand.chunk_ids)
-            for d, c, text in zip(cand.doc_ids, cand.chunk_ids, texts):
-                if has_arg(text, arg, partial) < 0:
-                    continue
+            sel, _, _ = self.scan_rows(
+                cand.doc_ids, cand.chunk_ids, args=(arg,), partial=partial
+            )
+            for d, c in zip(cand.doc_ids[sel], cand.chunk_ids[sel]):
                 per_doc.setdefault(int(d), [[] for _ in args])[i].append(int(c))
         out = [
             {

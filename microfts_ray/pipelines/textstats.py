@@ -21,7 +21,6 @@ import pyarrow as pa
 import ray.data
 
 _TOKEN_SPLIT = re.compile(r"[^0-9a-z]+")
-_ALPHA_RUNS = re.compile(r"[A-Za-z]+")
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -30,18 +29,44 @@ _LANG_MARKERS = {
     "fr": {"le", "la", "les", "et", "des", "une", "est", "dans", "du"},
     "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu"},
 }
-_CJK = re.compile(r"[一-鿿]")
 
 
 def word_tokens(text: str) -> list[str]:
     return [t for t in _TOKEN_SPLIT.split(text.lower()) if t]
 
 
+def _token_lists(col) -> tuple[np.ndarray, pa.Array]:
+    """Vectorized word_tokens over a string column: lowercase + regex
+    split in Arrow. Returns (offsets[int64, n+1], flat token values) —
+    flat values INCLUDE the empty boundary tokens word_tokens drops;
+    callers mask them (utf8_length == 0)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(col), pattern="[^0-9a-z]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return np.asarray(toks.offsets, dtype=np.int64), toks.values
+
+
+def _seg_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flat array segmented by list offsets
+    (cumsum-gather; integer math, no pairwise-float concerns)."""
+    cum = np.zeros(values.size + 1, dtype=np.int64)
+    np.cumsum(values, out=cum[1:])
+    return cum[offsets[1:]] - cum[offsets[:-1]]
+
+
 def token_count(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, n_tokens) — vectorized per batch, no shuffle."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        n = [len(word_tokens(t)) for t in batch["text"].to_pylist()]
+        import pyarrow.compute as pc
+
+        off, vals = _token_lists(batch["text"])
+        nonempty = np.asarray(pc.not_equal(pc.binary_length(vals), 0))
+        n = _seg_sum(nonempty, off)
         return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -57,20 +82,34 @@ def term_df(ds: ray.data.Dataset) -> ray.data.Dataset:
     """
 
     def explode(batch: pa.Table) -> pa.Table:
-        # per-batch (term -> partial df) via Arrow hash group_by: the
-        # Ray groupby shuffles one row per distinct term per batch
-        # (combiner), never the raw exploded pairs
-        terms = []
-        for t in batch["text"].to_pylist():
-            terms.append(sorted(set(word_tokens(t))))
-        flat = [x for ts in terms for x in ts]
-        tbl = pa.table({"term": pa.array(flat, pa.string())})
+        # per-batch (term -> partial df), fully vectorized: dict-encode
+        # the flat tokens, distinct (doc, term) pairs via np.unique on
+        # row*V+code, partial df = bincount of the distinct pairs'
+        # codes. The Ray groupby shuffles one row per distinct term per
+        # batch (combiner), never the raw exploded pairs.
         import pyarrow.compute as pc
 
-        g = tbl.group_by("term").aggregate(
-            [("term", "count", pc.CountOptions(mode="all"))]
+        off, vals = _token_lists(batch["text"])
+        enc = pc.dictionary_encode(vals)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        rowid = np.repeat(np.arange(off.size - 1, dtype=np.int64), np.diff(off))
+        keep = np.asarray(pc.not_equal(pc.binary_length(vals), 0))
+        if len(vocab) == 0 or not keep.any():
+            return pa.table(
+                {"term": pa.array([], pa.string()), "pdf": pa.array([], pa.int64())}
+            )
+        pairs = np.unique(rowid[keep] * len(vocab) + codes[keep])
+        pdf = np.bincount(pairs % len(vocab), minlength=len(vocab))
+        nz = np.flatnonzero(pdf)
+        return pa.table(
+            {
+                "term": vocab.take(pa.array(nz)),
+                "pdf": pa.array(pdf[nz], pa.int64()),
+            }
         )
-        return g.rename_columns(["term", "pdf"])
 
     pairs = ds.map_batches(explode, batch_format="pyarrow")
     from ray.data.aggregate import Sum
@@ -90,19 +129,21 @@ def quality_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
     training-data quality signals, all single-pass vectorizable."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n_chars, n_tok, alpha_ratio, avg_len = [], [], [], []
-        alpha_runs = _ALPHA_RUNS
-        for t in texts:
-            toks = word_tokens(t)
-            nc = len(t)
-            # ASCII-alpha char count == total length of [A-Za-z] runs
-            # (one regex scan instead of a per-char Python loop)
-            na = sum(map(len, alpha_runs.findall(t)))
-            n_chars.append(nc)
-            n_tok.append(len(toks))
-            alpha_ratio.append(na / nc if nc else 0.0)
-            avg_len.append(sum(map(len, toks)) / len(toks) if toks else 0.0)
+        # all-integer segment sums + ONE float64 division per measure —
+        # bit-identical to the scalar per-row form (and the SQL oracle)
+        import pyarrow.compute as pc
+
+        texts = batch["text"].combine_chunks()
+        off, vals = _token_lists(texts)
+        tok_chars = np.asarray(pc.utf8_length(vals), dtype=np.int64)
+        n_tok = _seg_sum(tok_chars > 0, off)
+        sum_len = _seg_sum(tok_chars, off)
+        n_chars = np.asarray(pc.utf8_length(texts), dtype=np.int64)
+        n_alpha = np.asarray(
+            pc.count_substring_regex(texts, "[A-Za-z]"), dtype=np.int64
+        )
+        alpha_ratio = np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
+        avg_len = np.where(n_tok > 0, sum_len / np.maximum(n_tok, 1), 0.0)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -116,28 +157,46 @@ def quality_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# vectorized marker tables: distinct markers (a marker like "la" can
+# belong to several languages) and a |markers|×|langs| membership
+# matrix; langs ascending so argmax's first-max tie-break == the
+# scalar form's sorted((-score, lang)) rule
+_LANGS = sorted(_LANG_MARKERS)
+_MARKERS = sorted({w for marks in _LANG_MARKERS.values() for w in marks})
+_MARKER_ARR = pa.array(_MARKERS, pa.string())
+_MEMBER = np.zeros((len(_MARKERS), len(_LANGS)), dtype=np.int64)
+for _w, _l in ((w, l) for l, ms in _LANG_MARKERS.items() for w in ms):
+    _MEMBER[_MARKERS.index(_w), _LANGS.index(_l)] = 1
+_LANGS_NP = np.array(_LANGS, dtype=object)
+
+
 def lang_id(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, lang_pred) — deterministic stopword/CJK heuristic.
     Ties break by language code ascending."""
 
-    from collections import Counter
-
     def fn(batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch["text"].to_pylist():
-            if _CJK.search(t):
-                preds.append("zh")
-                continue
-            cnt = Counter(word_tokens(t))
-            # occurrence-weighted marker score, one Counter pass per
-            # doc instead of a per-token per-language membership loop
-            scores = {
-                lang: sum(cnt[w] for w in marks if w in cnt)
-                for lang, marks in _LANG_MARKERS.items()
-            }
-            best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-            preds.append(best[0] if best[1] > 0 else "und")
-        return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(preds)})
+        import pyarrow.compute as pc
+
+        texts = batch["text"].combine_chunks()
+        n = len(texts)
+        off, vals = _token_lists(texts)
+        # per-row marker occurrence counts (empty boundary tokens can't
+        # match a marker), then scores = counts @ membership
+        midx = pc.fill_null(pc.index_in(vals, value_set=_MARKER_ARR), -1)
+        midx = np.asarray(midx, dtype=np.int64)
+        rowid = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        hit = midx >= 0
+        cnt = np.zeros((n, len(_MARKERS)), dtype=np.int64)
+        np.add.at(cnt, (rowid[hit], midx[hit]), 1)
+        scores = cnt @ _MEMBER
+        best = np.argmax(scores, axis=1)
+        maxv = scores[np.arange(n), best]
+        preds = np.where(maxv > 0, _LANGS_NP[best], "und")
+        cjk = np.asarray(pc.count_substring_regex(texts, "[一-鿿]"), dtype=np.int64) > 0
+        preds[cjk] = "zh"
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds.tolist())}
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
