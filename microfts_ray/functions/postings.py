@@ -189,7 +189,7 @@ def decode_block_meta(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
-def decode_terms_table(tbl, dict_resolver=None) -> dict:
+def decode_terms_table(tbl, dict_resolver=None, translate=True) -> dict:
     """Bulk-decode a TERMS_SCHEMA Arrow table into flat entry arrays.
 
     Zero-copy: for each stream, the Arrow binary column's data buffer
@@ -242,23 +242,43 @@ def decode_terms_table(tbl, dict_resolver=None) -> dict:
     base[nz] = cs[row_starts[:-1][nz]] - gaps[row_starts[:-1][nz]]
     doc = cs - np.repeat(base, ns)
     # rank-encoded rows: translate dictionary ranks -> real doc ids.
-    # Entries are row-contiguous and each row has ONE dict, so the
-    # translation is a per-row slice gather — never a full-length
-    # boolean mask per distinct dict (that was O(rows x entries)).
+    # Grouped BY DICT, one vectorized gather per distinct dictionary:
+    # a merged shard interleaves hundreds of source partitions' rows
+    # per term, so the former per-row loop was 100k+ Python iterations.
+    dict_vocab: list | None = None
+    dict_codes: np.ndarray | None = None
     if "dict" in tbl.column_names:
-        dict_ids = tbl["dict"].to_pylist()
-        if any(dict_ids):
+        import pyarrow.compute as _pc
+
+        enc = _pc.dictionary_encode(tbl["dict"])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        if any(vocab) and not translate:
+            # caller handles ranks itself (e.g. per-dict rank->key maps
+            # in warm_terms_bulk): expose the per-row dict codes
+            dict_vocab = vocab
+            dict_codes = np.asarray(enc.indices, dtype=np.int64)
+        elif any(vocab):
             if dict_resolver is None:
                 raise ValueError(
                     "table holds rank-encoded doc streams; a dict_resolver is required"
                 )
-            for i, did in enumerate(dict_ids):
+            row_codes = np.asarray(enc.indices, dtype=np.int64)
+            for k, did in enumerate(vocab):
                 if not did:
                     continue
-                s, e = int(row_starts[i]), int(row_starts[i + 1])
-                if e > s:
-                    lookup = dict_resolver(did)
-                    doc[s:e] = lookup[doc[s:e].astype(np.int64)]
+                rows_k = np.flatnonzero(row_codes == k)
+                lens = ns[rows_k]
+                tot = int(lens.sum())
+                if tot == 0:
+                    continue
+                intra = np.arange(tot, dtype=np.int64) - np.repeat(
+                    np.cumsum(lens) - lens, lens
+                )
+                idx = np.repeat(row_starts[:-1][rows_k], lens) + intra
+                lookup = dict_resolver(did)
+                doc[idx] = lookup[doc[idx].astype(np.int64)]
     terms = np.repeat(tbl["term"].to_numpy().astype(np.uint16), ns)
     # sidecar-dl layout: dl blobs are empty -> zeros + has_dl=False.
     # A table may hold EITHER layout, never both: an index keeps one
@@ -283,6 +303,10 @@ def decode_terms_table(tbl, dict_resolver=None) -> dict:
         "dl": col_values("dl_blob") if has_dl else np.zeros(total, dtype=np.uint64),
         "has_dl": has_dl,
         "row_starts": row_starts,
+        # translate=False only: per-row dict codes + vocabulary (doc_id
+        # then holds RAW RANKS for rows whose dict code is non-empty)
+        "dict_vocab": dict_vocab,
+        "dict_codes": dict_codes,
     }
 
 

@@ -192,6 +192,16 @@ def decode_array_split(blob: bytes | memoryview | np.ndarray, count: int) -> np.
     return vals
 
 
+# 256-entry lookup tables indexed by a value's FIRST byte: payload
+# byte count (width-1) and the value bits the first byte contributes
+_PW_LUT = np.array(
+    [0 if b < 0x80 else ((b >> 4) & 0x7) + 1 for b in range(256)], dtype=np.int64
+)
+_V0_LUT = np.array(
+    [b if b < 0x80 else b & 0xF for b in range(256)], dtype=np.uint64
+)
+
+
 def decode_split_rows(
     raw: np.ndarray, row_offsets: np.ndarray, ns: np.ndarray
 ) -> np.ndarray:
@@ -199,29 +209,32 @@ def decode_split_rows(
 
     raw: uint8 buffer; row_offsets[i] = byte offset of row i's blob;
     ns[i] = value count of row i. Returns all values concatenated in
-    row order. Fully vectorized (the merge/compaction fast path).
-    """
+    row order. Fully vectorized (the merge/compaction fast path);
+    all-1-byte streams (tf/chunk/rank-gap streams in practice) take a
+    two-pass shortcut — one gather, one LUT."""
     total = int(ns.sum())
     if total == 0:
         return np.empty(0, dtype=np.uint64)
     rows = ns.size
-    row_of = np.repeat(np.arange(rows, dtype=np.int64), ns)
     cum = np.zeros(rows + 1, dtype=np.int64)
     np.cumsum(ns, out=cum[1:])
-    idx_in_row = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], ns)
-    first_pos = row_offsets[row_of] + idx_in_row
+    # firsts bytes of row i are contiguous at row_offsets[i]: position
+    # = global value index + per-row (offset - first-value-index) —
+    # ONE repeat, no row_of/idx_in_row scratch arrays
+    first_pos = np.arange(total, dtype=np.int64)
+    first_pos += np.repeat(row_offsets - cum[:-1], ns)
     firsts = raw[first_pos]
-    widths = np.where(firsts & 0x80 == 0, 1, ((firsts >> 4) & 0x7).astype(np.int64) + 2)
-    pw = widths - 1
-    # payload offset within each row: segmented exclusive cumsum of pw
-    gcum = np.cumsum(pw)
-    gbase = gcum - pw
-    row_first_val = cum[:-1]
-    base_at_row_start = gbase[np.minimum(row_first_val, total - 1)]
-    pay_in_row = gbase - np.repeat(base_at_row_start, ns)
-    pay_pos = row_offsets[row_of] + ns[row_of] + pay_in_row
-    vals = np.where(widths == 1, firsts, firsts & 0xF).astype(np.uint64)
+    pw = _PW_LUT[firsts]
+    vals = _V0_LUT[firsts]
     maxpw = int(pw.max())
+    if maxpw == 0:
+        return vals
+    # payload offset within each row: segmented exclusive cumsum of pw
+    gbase = np.cumsum(pw)
+    gbase -= pw
+    base_at_row_start = gbase[np.minimum(cum[:-1], total - 1)]
+    pay_pos = gbase
+    pay_pos += np.repeat(row_offsets + ns - base_at_row_start, ns)
     for j in range(maxpw):
         sel = pw > j
         vals[sel] = (vals[sel] << np.uint64(8)) | raw[pay_pos[sel] + j]

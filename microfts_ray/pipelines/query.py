@@ -528,6 +528,192 @@ class IndexReader:
             if p != d and os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
 
+    def warm_terms_bulk(
+        self, terms, maps: tuple[dict, dict] | None = None
+    ) -> dict[int, tuple[np.ndarray, np.ndarray, int]]:
+        """Bulk warm-representation build: per source segment/shard,
+        ONE full-table read + ONE vectorized decode_terms_table pass,
+        then per-term key sort + exact contribs. The former per-term
+        route decoded a hot term's hundreds of stacked rows one Python
+        iteration at a time (~30us/row); this is the ~ns/entry path.
+
+        Returns {term: (sorted dense keys, aligned f64 contribs, n)}.
+        Bit-identical to _sorted_keys: keys are unique per term, and
+        contribs use the same _contrib(w, tf, dl) elementwise math —
+        concat order across segments can't change either. Requires the
+        dense space; callers fall back to per-term decode without it."""
+        from ..functions.postings import decode_terms_table
+
+        if self._dense_space() is None:
+            return {}
+        terms_arr = np.unique(np.asarray(sorted(set(int(t) for t in terms)),
+                                         dtype=np.int64))
+        if terms_arr.size == 0:
+            return {}
+        doc_sorted, base = self._dense
+        # per-DICT rank maps, built once over each 500-entry dictionary
+        # instead of per-posting searchsorteds over the doc universe:
+        # rank -> dense key base, rank -> dl-span slot (measured ~9s of
+        # warmup at 10^8 postings)
+        keymaps: dict[str, np.ndarray] = {} if maps is None else maps[0]
+        dlmaps: dict[str, tuple[np.ndarray, np.ndarray]] = (
+            {} if maps is None else maps[1]
+        )
+
+        def _maps(did: str):
+            km = keymaps.get(did)
+            if km is None:
+                lookup = self._resolve_dict(did)
+                pos = np.searchsorted(doc_sorted, lookup)
+                pos = np.minimum(pos, doc_sorted.size - 1)
+                if not (doc_sorted[pos] == lookup).all():
+                    raise KeyError("dictionary doc missing from dense space")
+                km = base[pos]
+                keymaps[did] = km
+            return km
+
+        def _dlmaps(did: str):
+            dm = dlmaps.get(did)
+            if dm is None:
+                dl_ids, dl_base, _dl_flat = self._chunk_dl_space()
+                lookup = self._resolve_dict(did)
+                pos = np.minimum(np.searchsorted(dl_ids, lookup), dl_ids.size - 1)
+                if not (dl_ids[pos] == lookup).all():
+                    raise KeyError("doc_id missing from chunk-dl space")
+                dm = (dl_base[pos], dl_base[pos + 1] - dl_base[pos])
+                dlmaps[did] = dm
+            return dm
+
+        parts: dict[int, list] = {}
+        for seg in self.shards or self.segments:
+            # skip sources with no hot term (term directory is loaded)
+            if not np.isin(terms_arr, seg.terms).any():
+                continue
+            tbl = seg._pf.read(
+                columns=["term", "n", "dict", "doc_blob", "chunk_blob",
+                         "tf_blob", "dl_blob"]
+                if "dict" in seg._pf.schema_arrow.names
+                else ["term", "n", "doc_blob", "chunk_blob", "tf_blob", "dl_blob"]
+            )
+            mask = np.isin(tbl["term"].to_numpy(), terms_arr)
+            if not mask.any():
+                continue
+            sub = tbl.filter(pa.array(mask))
+            dec = decode_terms_table(
+                sub, dict_resolver=self._resolve_dict, translate=False
+            )
+            if dec["term"].size == 0:
+                continue
+            doc = dec["doc_id"]  # RAW RANKS for rank-encoded rows
+            chunk = dec["chunk_id"]
+            ck64 = chunk.astype(np.int64)
+            total = doc.size
+            keys = np.empty(total, dtype=np.int64)
+            if dec["has_dl"]:
+                dl = dec["dl"]
+            else:
+                dl = np.empty(total, dtype=np.uint64)
+            vocab = dec["dict_vocab"]
+            if vocab is None:
+                keys[:] = base[np.searchsorted(doc_sorted, doc)] + ck64
+                if not dec["has_dl"]:
+                    dl[:] = self._chunk_dls(doc, chunk)
+            else:
+                row_codes = dec["dict_codes"]
+                row_starts = dec["row_starts"]
+                ns_rows = np.diff(row_starts)
+                _dl_flat = (
+                    None if dec["has_dl"] else self._chunk_dl_space()[2]
+                )
+                for k, did in enumerate(vocab):
+                    rows_k = np.flatnonzero(row_codes == k)
+                    lens = ns_rows[rows_k]
+                    tot_k = int(lens.sum())
+                    if tot_k == 0:
+                        continue
+                    intra = np.arange(tot_k, dtype=np.int64) - np.repeat(
+                        np.cumsum(lens) - lens, lens
+                    )
+                    idx = np.repeat(row_starts[:-1][rows_k], lens) + intra
+                    ck = ck64[idx]
+                    if did:
+                        ranks = doc[idx].astype(np.int64)
+                        keys[idx] = _maps(did)[ranks] + ck
+                        if _dl_flat is not None:
+                            dstart, dspan = _dlmaps(did)
+                            if (ck >= dspan[ranks]).any():
+                                raise KeyError(
+                                    "chunk_id beyond its doc's chunk span"
+                                )
+                            dl[idx] = _dl_flat[dstart[ranks] + ck]
+                    else:  # plain doc-id rows
+                        d_k = doc[idx]
+                        keys[idx] = base[np.searchsorted(doc_sorted, d_k)] + ck
+                        if _dl_flat is not None:
+                            dl[idx] = self._chunk_dls(d_k, chunk[idx])
+            tt = dec["term"]
+            starts = np.flatnonzero(np.concatenate(([True], tt[1:] != tt[:-1])))
+            bnds = np.concatenate((starts, [tt.size]))
+            for i in range(starts.size):
+                s, e = int(bnds[i]), int(bnds[i + 1])
+                parts.setdefault(int(tt[s]), []).append(
+                    (keys[s:e], dec["tf"][s:e], dl[s:e])
+                )
+        out = {}
+        for t, ps in parts.items():
+            if len(ps) == 1:
+                keys, tf, dl = ps[0]
+            else:
+                keys = np.concatenate([p[0] for p in ps])
+                tf = np.concatenate([p[1] for p in ps])
+                dl = np.concatenate([p[2] for p in ps])
+            n = int(keys.size)
+            contrib = self._contrib(self._idf(n), tf, dl)
+            order = np.argsort(keys, kind="stable")
+            out[t] = (keys[order], contrib[order], n)
+        return out
+
+    def _warm_maps(self) -> tuple[dict, dict]:
+        """Per-dict rank maps for broadcast to warm tasks (each task
+        would otherwise re-read every docs sidecar to resolve its
+        dictionaries: N tasks x all partitions of duplicate I/O).
+        ~500 entries per dict -> a few MB total at any corpus size
+        that fits one dense space."""
+        import os
+
+        keymaps: dict[str, np.ndarray] = {}
+        dlmaps: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        if self._dense_space() is None:
+            return keymaps, dlmaps
+        doc_sorted, base = self._dense
+        try:
+            dl_ids, dl_base, _ = self._chunk_dl_space()
+        except KeyError:
+            dl_ids = None
+        for pid, rel in self._pid_docs.items():
+            subs = np.unique(
+                pq.read_table(
+                    os.path.join(self.index_dir, rel), columns=["sub"]
+                )["sub"].to_numpy()
+            )
+            for k in subs:
+                did = f"{pid}:{int(k)}"
+                lookup = self._resolve_dict(did)
+                pos = np.minimum(
+                    np.searchsorted(doc_sorted, lookup), doc_sorted.size - 1
+                )
+                if not (doc_sorted[pos] == lookup).all():
+                    raise KeyError("dictionary doc missing from dense space")
+                keymaps[did] = base[pos]
+                if dl_ids is not None:
+                    p2 = np.minimum(
+                        np.searchsorted(dl_ids, lookup), dl_ids.size - 1
+                    )
+                    if not (dl_ids[p2] == lookup).all():
+                        raise KeyError("doc_id missing from chunk-dl space")
+                    dlmaps[did] = (dl_base[p2], dl_base[p2 + 1] - dl_base[p2])
+        return keymaps, dlmaps
+
     def prewarm(
         self,
         min_entries: int = 10_000,
@@ -637,7 +823,17 @@ class IndexReader:
         import ray as _ray
 
         if parallel is None:
-            parallel = _ray.is_initialized() and len(todo) > 4
+            # single-node default: the SERIAL bulk path. This box's
+            # memory bus saturates at ~1.3x single-thread bandwidth, so
+            # a decode fan-out only adds task overhead + a multi-GB
+            # warm-set ship through the object store (controlled A/B:
+            # serial bulk 19-39s vs 6-task fan-out 95s on the same
+            # index). On a multi-NODE cluster each node has its own
+            # bus — pass parallel=True there and the shard-aligned
+            # warm_task fan-out wins instead.
+            parallel = (
+                not use_dense and _ray.is_initialized() and len(todo) > 4
+            )
         if parallel:
             from .build import _pkg_root
 
@@ -676,8 +872,9 @@ class IndexReader:
                 dl_space = self._chunk_dl_space()
             except KeyError:  # old-format index: dl lives in-stream
                 dl_space = None
+            warm_maps = self._warm_maps() if use_dense else ({}, {})
             dense_ref = _ray.put(
-                (self._dense if use_dense else None, dl_space)
+                (self._dense if use_dense else None, dl_space, warm_maps)
             )
 
             def warm_task(terms: list[int]) -> dict:
@@ -685,35 +882,28 @@ class IndexReader:
 
                 if pkg_root not in sys.path:
                     sys.path.insert(0, pkg_root)
-                import numpy as _np
 
                 from microfts_ray.pipelines.query import IndexReader as IR
 
                 r = IR(index_dir)
-                dense_val, dl_space_val = _ray.get(dense_ref)
+                dense_val, dl_space_val, maps_val = _ray.get(dense_ref)
                 if dense_val is not None:
                     r._dense = dense_val
                 if dl_space_val is not None:
                     r._chunk_dl_cache = dl_space_val
                 dense = r._dense_space() is not None
+                if dense:
+                    # bulk path: per shard, one table read + one
+                    # vectorized decode — ships ONLY (sorted keys,
+                    # aligned contribs): 16B/entry instead of the
+                    # 48B/entry of full runs+keys+contrib
+                    return r.warm_terms_bulk(terms, maps=maps_val)
                 out = {}
                 for t in terms:
                     run = r.term_postings(t)
                     if not len(run):
                         continue
-                    if dense:
-                        # ship ONLY (sorted keys, aligned contribs):
-                        # 16B/entry instead of the 48B/entry of full
-                        # runs+keys+contrib — every query kernel that
-                        # touches a warm term (dense scoring, counting
-                        # intersection, exact rescore) works off this
-                        # pair; raw runs decode lazily if ever needed
-                        key = r._dense_key(t, run)
-                        contrib = r._term_contrib(t, run)
-                        order = _np.argsort(key, kind="stable")
-                        out[t] = (key[order], contrib[order], len(run))
-                    else:
-                        out[t] = (run.doc_ids, run.chunk_ids, run.tfs, run.dls)
+                    out[t] = (run.doc_ids, run.chunk_ids, run.tfs, run.dls)
                 return out
 
             remote = _ray.remote(num_cpus=1)(warm_task)
@@ -739,27 +929,25 @@ class IndexReader:
                     self._save_warmcache()
             return len(todo)
 
-        def warm_one(t: int) -> None:
-            run = self.term_postings(t)
-            if len(run) and use_dense:
-                self._dense_key(t, run)
-                self._term_contrib(t, run)
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=8) as ex:
-            list(ex.map(warm_one, todo))
         if use_dense:
-            # same warm representation as the parallel path: sorted
-            # key/contrib arrays + hot-term vectors, then the optional
-            # persisted cache (QueryActor's in-actor prewarm runs HERE
-            # with parallel=False — persist must work on this path)
+            # same warm representation as the parallel path, same bulk
+            # decode (QueryActor's in-actor prewarm runs HERE with
+            # parallel=False — persist must work on this path)
+            for t, (k, c, n) in self.warm_terms_bulk(todo).items():
+                self._sorted_kc[t] = (k, c)
+                self._term_len_cache[t] = n
             for t in todo:
-                self._sorted_keys(t)
                 if totals.get(t, 0) >= self._vec_min:
                     self._dense_vec(t)
             if persist and self._sorted_kc:
                 self._save_warmcache()
+            return len(todo)
+
+        # non-dense mode: warm the raw-run cache (term_postings caches)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(self.term_postings, todo))
         return len(todo)
 
     # -- candidate kernel (X1) ---------------------------------------------
@@ -1440,10 +1628,28 @@ class IndexReader:
         return math.log(1.0 + (self.n_chunks - df + 0.5) / (df + 0.5))
 
     def _contrib(self, w: float, tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        # in-place pipeline, BIT-IDENTICAL to the reference expression
+        #   norm = K1 * (1 - B + B * (dl / avgdl))
+        #   w * (tf * (K1 + 1)) / (tf + norm)
+        # (every op keeps the same operands/order; IEEE + is
+        # commutative, so norm + tf == tf + norm bitwise) — the naive
+        # form allocated five 8B temporaries per posting, a measured
+        # warmup tax at 10^8 postings
         tf = tf.astype(np.float64)
-        dl = dl.astype(np.float64)
-        norm = K1 * (1 - B + B * (dl / self.avgdl if self.avgdl else dl * 0.0))
-        return w * (tf * (K1 + 1)) / (tf + norm)
+        norm = dl.astype(np.float64)
+        if self.avgdl:
+            norm /= self.avgdl
+        else:
+            norm *= 0.0
+        norm *= B
+        norm += 1 - B
+        norm *= K1
+        norm += tf  # == tf + norm
+        num = tf
+        num *= K1 + 1
+        num *= w  # == w * (tf * (K1+1)): float mult is commutative
+        num /= norm
+        return num
 
     def bm25_topk(
         self, query: str, k: int = 10, prune_threshold: int = 200_000

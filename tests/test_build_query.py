@@ -7,6 +7,7 @@ rank-identically — at every partition count.
 
 import shutil
 
+import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
@@ -346,6 +347,39 @@ def test_warmcache_roundtrip_and_invalidation(corpus_dir, tmp_path_factory, orac
     delete_doc(idx, row["repo"], row["path"], row["commit"])
     r3 = IndexReader(idx)
     assert not r3._load_warmcache()
+
+
+def test_warm_terms_bulk_bit_identical(reader):
+    """The bulk warm path (one decode_terms_table pass per source)
+    must produce EXACTLY the per-term _sorted_keys representation —
+    keys equal, contribs float-bit-identical, lengths equal — on both
+    plain and rank-encoded (dict) rows, with and without prebuilt
+    broadcast maps."""
+    r_bulk = IndexReader(reader.index_dir)
+    r_ref = IndexReader(reader.index_dir)
+    assert r_ref._dense_space() is not None
+    totals: dict[int, int] = {}
+    for seg in r_bulk.shards or r_bulk.segments:
+        for t, n in zip(seg.terms.tolist(), seg.ns.tolist()):
+            totals[t] = totals.get(t, 0) + int(n)
+    hot = sorted(t for t, n in totals.items() if n >= 50)
+    assert hot, "fixture corpus must produce warm-eligible terms"
+    bulk = r_bulk.warm_terms_bulk(hot)
+    maps = r_bulk._warm_maps()
+    r_maps = IndexReader(reader.index_dir)
+    bulk2 = r_maps.warm_terms_bulk(hot, maps=maps)
+    assert set(bulk) == set(bulk2)
+    for t in hot:
+        sk = r_ref._sorted_keys(t)
+        if sk is None:
+            assert t not in bulk
+            continue
+        k, c, n = bulk[t]
+        assert np.array_equal(sk[0], k)
+        assert np.array_equal(sk[1], c)  # float BIT identity
+        assert n == sk[0].size
+        k2, c2, _n2 = bulk2[t]
+        assert np.array_equal(k, k2) and np.array_equal(c, c2)
 
 
 def test_validate_index(reader):
