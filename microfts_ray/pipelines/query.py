@@ -204,6 +204,9 @@ class IndexReader:
         # and the exact-rescore gather without holding raw runs
         self._sorted_kc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._term_len_cache: dict[int, int] = {}
+        # block-max WAND admission counters (observability + tests)
+        self.blocks_admit_total = 0
+        self.blocks_admit_skipped = 0
         # tombstones (pipelines/update.py): docs deleted but not yet
         # compacted away; every query path anti-joins them (X4,
         # fts-lmdb.go:1151-1162)
@@ -1905,9 +1908,66 @@ class IndexReader:
         live = self._live_mask(d)
         return d[live], c[live], score[live]
 
+    def _admit_blocks(self, g: int, w: float, min_ub: float):
+        """Block-max WAND decode: decode ONLY the blocks whose
+        upper-bound contribution contrib(bmax_tf, bmin_dl) can reach
+        min_ub (contrib is monotone increasing in tf and decreasing in
+        dl, so the block metadata gives a true per-entry bound —
+        /root/reference/fts-lmdb.go:1497-1528's smallest-first spirit
+        at block granularity). Returns (doc, chunk, tf, dl); updates
+        the blocks_admit_total/skipped counters."""
+        from ..functions.postings import decode_block_meta, decode_run_blocks
+
+        docs, chunks, tfs, dls = [], [], [], []
+        for seg in self._term_sources(g):
+            sl = seg.term_slice(g)
+            if sl is None or sl.num_rows == 0:
+                continue
+            for row in sl.to_pylist():
+                n = int(row["n"])
+                if n == 0:
+                    continue
+                bmax_tf, bmin_dl, _bf = decode_block_meta(row)
+                # relative safety margin: the bound holds in real
+                # arithmetic; a few ulps cover float rounding between
+                # the bound's evaluation and a per-entry contrib
+                ub = self._contrib(w, bmax_tf, bmin_dl) * (1.0 + 1e-9) + 1e-12
+                sel = np.flatnonzero(ub >= min_ub)
+                self.blocks_admit_total += bmax_tf.size
+                self.blocks_admit_skipped += bmax_tf.size - sel.size
+                if sel.size == 0:
+                    continue
+                bdoc, bchunk, btf, bdl = decode_run_blocks(row, sel)
+                did = row.get("dict", "")
+                if did:
+                    bdoc = self._resolve_dict(did)[bdoc.astype(np.int64)]
+                if len(row.get("dl_blob", b"")) == 0:
+                    bdl = self._chunk_dls(bdoc, bchunk)  # sidecar-dl
+                docs.append(bdoc)
+                chunks.append(bchunk)
+                tfs.append(btf)
+                dls.append(bdl)
+        if not docs:
+            e = np.empty(0, dtype=np.uint64)
+            return e, e.copy(), e.copy(), e.copy()
+        return (
+            np.concatenate(docs),
+            np.concatenate(chunks),
+            np.concatenate(tfs),
+            np.concatenate(dls),
+        )
+
     def _bm25_candidates_maxscore(self, infos, k: int, overfetch: int = 4):
         """Candidate (doc, chunk) set guaranteed to contain the true
-        top-k: MaxScore admission with bound U_g = idf_g * (K1+1)."""
+        top-k: MaxScore admission with term bound U_g = idf_g * (K1+1)
+        refined per 128-entry block by the stored bmax_tf/bmin_dl
+        metadata once the accumulator is full (theta > 0): a block of
+        a hot term whose block bound + remaining-term bound can't
+        reach theta is never decoded, and existing candidates take
+        that term's contribution through the block-selective gather
+        instead. accS is a SELECTION score only — the caller rescores
+        candidates exactly — but it is kept complete over admitted
+        pairs so the kk-truncation below stays a true MaxScore set."""
         desc = sorted(infos, key=lambda gn: -self._idf(gn[1]))
         bounds = np.array([self._idf(n) * (K1 + 1) for _, n in desc])
         suffix = np.concatenate((np.cumsum(bounds[::-1])[::-1], [0.0]))
@@ -1915,7 +1975,8 @@ class IndexReader:
         accC = np.empty(0, dtype=np.uint64)
         accS = np.empty(0, dtype=np.float64)
         kk = k * overfetch
-        for i, (g, _n) in enumerate(desc):
+        block_terms: list[tuple[int, float]] = []  # block-mode terms so far
+        for i, (g, n_g) in enumerate(desc):
             theta = (
                 -np.partition(-accS, kk - 1)[kk - 1] if accS.size >= kk else 0.0
             )
@@ -1931,6 +1992,37 @@ class IndexReader:
                     w = self._idf(n2)
                     accS[hit] += self._contrib(w, tf2[hit], dl2[hit])
                 break
+            min_ub = theta - suffix[i + 1]
+            if theta > 0.0 and min_ub > 0.0 and n_g > 0:
+                # block-max admission: new pairs only from blocks that
+                # can reach theta; existing candidates still take this
+                # term's contribution via the selective gather
+                w = self._idf(n_g)
+                tf2, dl2, hit = self._pairs_tfdl(g, accD, accC)
+                if hit.any():
+                    accS[hit] += self._contrib(w, tf2[hit], dl2[hit])
+                bdoc, bchunk, btf, bdl = self._admit_blocks(g, w, min_ub)
+                if bdoc.size:
+                    new = self._live_mask(bdoc) & ~pair_isin(
+                        bdoc, bchunk, accD, accC
+                    )
+                    if new.any():
+                        nD, nC = bdoc[new], bchunk[new]
+                        nS = self._contrib(w, btf[new], bdl[new])
+                        # keep accS COMPLETE for admitted pairs: a pair
+                        # first seen here may live in skipped blocks of
+                        # EARLIER block-mode terms — gather those
+                        # contributions so the kk-truncation below
+                        # ranks every candidate by its true partial sum
+                        for g0, w0 in block_terms:
+                            tf0, dl0, h0 = self._pairs_tfdl(g0, nD, nC)
+                            if h0.any():
+                                nS[h0] += self._contrib(w0, tf0[h0], dl0[h0])
+                        accD = np.concatenate([accD, nD])
+                        accC = np.concatenate([accC, nC])
+                        accS = np.concatenate([accS, nS])
+                block_terms.append((g, w))
+                continue
             run = self.term_postings(g)
             if len(run) == 0:
                 continue

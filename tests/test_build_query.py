@@ -254,6 +254,52 @@ def test_bm25_scale_path_block_selective(reader, oracle, query):
     ]
 
 
+def test_bm25_block_max_admission_skips_blocks(tmp_path_factory):
+    """Block-max WAND: on a skewed corpus (a few short high-tf lines
+    among many long tf=1 lines) the non-dense admission path must
+    SKIP blocks of the hot terms — the stored bmax_tf/bmin_dl bounds
+    consumed, not dead weight — while scores stay bit-identical to
+    the oracle. Single-gram queries never reach block mode (admission
+    fills the accumulator in one full merge), hence two terms here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = tmp_path_factory.mktemp("bmw")
+    med = " ".join(f"w{j}xk" for j in range(13))
+    long_ = " ".join(f"w{j}xk" for j in range(55))
+    rows = []
+    for i in range(50):
+        if i < 26:  # medium lines: the top scorers (short dl)
+            lines = [f"qzx qzy {med}"] * 40
+        else:  # long lines: low per-entry contribution (big dl)
+            lines = [f"qzx qzy {long_}"] * 40
+        rows.append(
+            {
+                "repo": "org/blockmax",
+                "path": f"src/f_{i}.py",
+                "commit": "c" * 40,
+                "lang": "py",
+                "content": "\n".join(lines) + "\n",
+            }
+        )
+    corpus = f"{tmp}/corpus.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(rows), corpus, row_group_size=25
+    )
+    idx = f"{tmp}/idx"
+    build_index([corpus], idx, target_rows_per_part=50)
+    oracle = OracleIndex.build(rows)
+    r2 = IndexReader(idx)
+    r2._dense_space = lambda cap=0: None  # force the scale path
+    got = r2.bm25_topk("qzx qzy", k=5, prune_threshold=0)
+    want = oracle.bm25_topk("qzx qzy", k=5)
+    assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+        (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+    ]
+    assert r2.blocks_admit_total > 0, "block-max admission never engaged"
+    assert r2.blocks_admit_skipped > 0, "no block was ever skipped"
+
+
 def test_pairs_tfdl_block_gather_matches_full_decode(reader):
     """Block-selective gather == full-decode pair lookup for arbitrary
     candidate sets (incl. misses)."""
