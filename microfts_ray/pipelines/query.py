@@ -554,38 +554,28 @@ class IndexReader:
         if terms_arr.size == 0:
             return {}
         doc_sorted, base = self._dense
-        # per-DICT rank maps, built once over each 500-entry dictionary
-        # instead of per-posting searchsorteds over the doc universe:
-        # rank -> dense key base, rank -> dl-span slot (measured ~9s of
-        # warmup at 10^8 postings)
-        keymaps: dict[str, np.ndarray] = {} if maps is None else maps[0]
-        dlmaps: dict[str, tuple[np.ndarray, np.ndarray]] = (
-            {} if maps is None else maps[1]
-        )
-
-        def _maps(did: str):
-            km = keymaps.get(did)
-            if km is None:
-                lookup = self._resolve_dict(did)
-                pos = np.searchsorted(doc_sorted, lookup)
-                pos = np.minimum(pos, doc_sorted.size - 1)
-                if not (doc_sorted[pos] == lookup).all():
-                    raise KeyError("dictionary doc missing from dense space")
-                km = base[pos]
-                keymaps[did] = km
-            return km
-
-        def _dlmaps(did: str):
-            dm = dlmaps.get(did)
-            if dm is None:
-                dl_ids, dl_base, _dl_flat = self._chunk_dl_space()
-                lookup = self._resolve_dict(did)
-                pos = np.minimum(np.searchsorted(dl_ids, lookup), dl_ids.size - 1)
-                if not (dl_ids[pos] == lookup).all():
-                    raise KeyError("doc_id missing from chunk-dl space")
-                dm = (dl_base[pos], dl_base[pos + 1] - dl_base[pos])
-                dlmaps[did] = dm
-            return dm
+        # GLOBAL concatenated rank maps: rank -> dense key base and
+        # rank -> dl-span slot for EVERY dictionary, so each decode
+        # slice translates with two flat gathers — no per-posting
+        # searchsorted over the doc universe, no per-dict loop (a
+        # slice interleaves hundreds of source partitions' rows, so
+        # per-dict grouping degenerated to 1-2 rows per group)
+        keymaps, dlmaps = maps if maps is not None else self._warm_maps()
+        did_off: dict[str, int] = {}
+        gk_parts, gs_parts, gp_parts = [], [], []
+        off = 0
+        for did in keymaps:
+            did_off[did] = off
+            gk_parts.append(keymaps[did])
+            if dlmaps:
+                ds, sp = dlmaps[did]
+                gs_parts.append(ds)
+                gp_parts.append(sp)
+            off += keymaps[did].size
+        g_key = np.concatenate(gk_parts) if gk_parts else np.empty(0, np.int64)
+        g_dstart = np.concatenate(gs_parts) if gs_parts else None
+        g_dspan = np.concatenate(gp_parts) if gp_parts else None
+        gmaps = (did_off, g_key, g_dstart, g_dspan)
 
         parts: dict[int, list] = {}
         for seg in self.shards or self.segments:
@@ -601,67 +591,14 @@ class IndexReader:
             mask = np.isin(tbl["term"].to_numpy(), terms_arr)
             if not mask.any():
                 continue
-            sub = tbl.filter(pa.array(mask))
-            dec = decode_terms_table(
-                sub, dict_resolver=self._resolve_dict, translate=False
-            )
-            if dec["term"].size == 0:
-                continue
-            doc = dec["doc_id"]  # RAW RANKS for rank-encoded rows
-            chunk = dec["chunk_id"]
-            ck64 = chunk.astype(np.int64)
-            total = doc.size
-            keys = np.empty(total, dtype=np.int64)
-            if dec["has_dl"]:
-                dl = dec["dl"]
-            else:
-                dl = np.empty(total, dtype=np.uint64)
-            vocab = dec["dict_vocab"]
-            if vocab is None:
-                keys[:] = base[np.searchsorted(doc_sorted, doc)] + ck64
-                if not dec["has_dl"]:
-                    dl[:] = self._chunk_dls(doc, chunk)
-            else:
-                row_codes = dec["dict_codes"]
-                row_starts = dec["row_starts"]
-                ns_rows = np.diff(row_starts)
-                _dl_flat = (
-                    None if dec["has_dl"] else self._chunk_dl_space()[2]
-                )
-                for k, did in enumerate(vocab):
-                    rows_k = np.flatnonzero(row_codes == k)
-                    lens = ns_rows[rows_k]
-                    tot_k = int(lens.sum())
-                    if tot_k == 0:
-                        continue
-                    intra = np.arange(tot_k, dtype=np.int64) - np.repeat(
-                        np.cumsum(lens) - lens, lens
-                    )
-                    idx = np.repeat(row_starts[:-1][rows_k], lens) + intra
-                    ck = ck64[idx]
-                    if did:
-                        ranks = doc[idx].astype(np.int64)
-                        keys[idx] = _maps(did)[ranks] + ck
-                        if _dl_flat is not None:
-                            dstart, dspan = _dlmaps(did)
-                            if (ck >= dspan[ranks]).any():
-                                raise KeyError(
-                                    "chunk_id beyond its doc's chunk span"
-                                )
-                            dl[idx] = _dl_flat[dstart[ranks] + ck]
-                    else:  # plain doc-id rows
-                        d_k = doc[idx]
-                        keys[idx] = base[np.searchsorted(doc_sorted, d_k)] + ck
-                        if _dl_flat is not None:
-                            dl[idx] = self._chunk_dls(d_k, chunk[idx])
-            tt = dec["term"]
-            starts = np.flatnonzero(np.concatenate(([True], tt[1:] != tt[:-1])))
-            bnds = np.concatenate((starts, [tt.size]))
-            for i in range(starts.size):
-                s, e = int(bnds[i]), int(bnds[i + 1])
-                parts.setdefault(int(tt[s]), []).append(
-                    (keys[s:e], dec["tf"][s:e], dl[s:e])
-                )
+            sub_all = tbl.filter(pa.array(mask))
+            # decode in ~512-row slices: the whole-shard decode's
+            # temporaries live in DRAM and this box's bus makes that
+            # 25x slower than cache-resident slices (measured 4.5s vs
+            # 0.16s per shard for identical output)
+            for s0 in range(0, sub_all.num_rows, 512):
+                sub = sub_all.slice(s0, 512)
+                self._warm_accumulate(sub, parts, gmaps)
         out = {}
         for t, ps in parts.items():
             if len(ps) == 1:
@@ -675,6 +612,69 @@ class IndexReader:
             order = np.argsort(keys, kind="stable")
             out[t] = (keys[order], contrib[order], n)
         return out
+
+    def _warm_accumulate(self, sub, parts: dict, gmaps) -> None:
+        """One decode slice of warm_terms_bulk: decode, translate
+        ranks through the GLOBAL concatenated rank maps with flat
+        entry-level gathers, append per-term (keys, tf, dl) parts in
+        row order."""
+        from ..functions.postings import decode_terms_table
+
+        doc_sorted, base = self._dense
+        did_off, g_key, g_dstart, g_dspan = gmaps
+        dec = decode_terms_table(
+            sub, dict_resolver=self._resolve_dict, translate=False
+        )
+        if dec["term"].size == 0:
+            return
+        doc = dec["doc_id"]  # RAW RANKS for rank-encoded rows
+        chunk = dec["chunk_id"]
+        ck64 = chunk.astype(np.int64)
+        total = doc.size
+        if dec["has_dl"]:
+            dl = dec["dl"]
+        else:
+            dl = np.empty(total, dtype=np.uint64)
+        vocab = dec["dict_vocab"]
+        if vocab is None or g_key.size == 0:
+            keys = base[np.searchsorted(doc_sorted, doc)] + ck64
+            if not dec["has_dl"]:
+                dl[:] = self._chunk_dls(doc, chunk)
+        else:
+            row_codes = dec["dict_codes"]
+            ns_rows = np.diff(dec["row_starts"])
+            # per-row global map offset (-1 = plain doc-id row),
+            # repeated to entries: translation becomes flat gathers
+            row_off = np.array(
+                [did_off.get(d, -1) if d else -1 for d in vocab], dtype=np.int64
+            )[row_codes]
+            eoff = np.repeat(row_off, ns_rows)
+            plain = eoff < 0
+            slot = eoff + doc.astype(np.int64)
+            slot[plain] = 0  # safe placeholder, overwritten below
+            keys = g_key[slot] + ck64
+            if not dec["has_dl"]:
+                if ((~plain) & (ck64 >= g_dspan[slot])).any():
+                    raise KeyError("chunk_id beyond its doc's chunk span")
+                flat = self._chunk_dl_space()[2]
+                # clip keeps placeholder (plain) slots in bounds; their
+                # values are overwritten by the plain path below
+                dl[:] = flat[np.minimum(g_dstart[slot] + ck64, flat.size - 1)]
+            if plain.any():  # plain doc-id rows (legacy/custom)
+                d_k = doc[plain]
+                keys[plain] = (
+                    base[np.searchsorted(doc_sorted, d_k)] + ck64[plain]
+                )
+                if not dec["has_dl"]:
+                    dl[plain] = self._chunk_dls(d_k, chunk[plain])
+        tt = dec["term"]
+        starts = np.flatnonzero(np.concatenate(([True], tt[1:] != tt[:-1])))
+        bnds = np.concatenate((starts, [tt.size]))
+        for i in range(starts.size):
+            s, e = int(bnds[i]), int(bnds[i + 1])
+            parts.setdefault(int(tt[s]), []).append(
+                (keys[s:e], dec["tf"][s:e], dl[s:e])
+            )
 
     def _warm_maps(self) -> tuple[dict, dict]:
         """Per-dict rank maps for broadcast to warm tasks (each task
@@ -826,17 +826,13 @@ class IndexReader:
         import ray as _ray
 
         if parallel is None:
-            # single-node default: the SERIAL bulk path. This box's
-            # memory bus saturates at ~1.3x single-thread bandwidth, so
-            # a decode fan-out only adds task overhead + a multi-GB
-            # warm-set ship through the object store (controlled A/B:
-            # serial bulk 19-39s vs 6-task fan-out 95s on the same
-            # index). On a multi-NODE cluster each node has its own
-            # bus — pass parallel=True there and the shard-aligned
-            # warm_task fan-out wins instead.
-            parallel = (
-                not use_dense and _ray.is_initialized() and len(todo) > 4
-            )
+            # measured on this host class (bus saturates at ~1.3x
+            # single-thread bandwidth): with the sliced cache-resident
+            # decode + broadcast dict maps, the shard-aligned fan-out
+            # is modestly ahead of serial (cold 46s vs 51-95s) because
+            # tasks overlap I/O with decode; on a multi-NODE cluster
+            # each node has its own bus and the fan-out wins outright
+            parallel = _ray.is_initialized() and len(todo) > 4
         if parallel:
             from .build import _pkg_root
 
@@ -847,11 +843,16 @@ class IndexReader:
             # facts drive this shape: (1) hot terms interleave across
             # shard files, so striding tasks over the sorted term list
             # re-reads the same row groups many times — tasks must
-            # follow term ranges; (2) this class of box saturates its
-            # memory bus at ~1.3x single-thread bandwidth, so decode
-            # parallelism beyond ~6 workers only adds contention
-            # (32 workers measured SLOWER than 6).
-            n_tasks = min(6, max(1, len(todo) // 2))
+            # follow term ranges; (2) decode parallelism is bounded by
+            # PER-HOST memory bandwidth, not cores (this class of box
+            # saturates at ~1.3x single-thread; 32 workers measured
+            # SLOWER than 6). The default 6 suits one such host;
+            # deployments set MICROFTS_WARM_TASKS to roughly
+            # (hosts x per-host useful decode streams) after probing.
+            import os as _os
+
+            per_host = int(_os.environ.get("MICROFTS_WARM_TASKS", "6"))
+            n_tasks = min(per_host, max(1, len(todo) // 2))
             if self._shard_bounds is not None:
                 terms_arr = np.array(todo, dtype=np.int64)
                 shard_of = (
