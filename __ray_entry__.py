@@ -355,15 +355,29 @@ def q_fingerprint(sf_dir: str) -> Any:
 
 
 def q_ann_lsh(sf_dir: str) -> pa.Table:
-    from microfts_ray.pipelines.ann import cosine_topk_lsh
+    """ANN via the PERSISTED partitioned LSH signature index: built
+    once per input (cached under /tmp keyed by source path+mtime),
+    then every query reads only its probe buckets. Same planes/probe
+    logic as the streaming variant -> identical results."""
+    import hashlib
 
-    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    from microfts_ray.pipelines.ann import (
+        build_ann_lsh_index,
+        cosine_topk_lsh_indexed,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(src)
     qvec = np.array(q["embedding"][0].as_py(), dtype=np.float64)
-    return cosine_topk_lsh(
-        _table(sf_dir, "embeddings"),
-        qvec,
-        k=10,
-        exclude_ids={int(q["vec_id"][0].as_py())},
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:p6s11".encode(),
+        digest_size=8,
+    ).hexdigest()
+    idx = f"/tmp/microfts_ann/idx_{tag}"
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        build_ann_lsh_index(_table(sf_dir, "embeddings"), idx)
+    return cosine_topk_lsh_indexed(
+        idx, qvec, k=10, exclude_ids={int(q["vec_id"][0].as_py())}
     )
 
 

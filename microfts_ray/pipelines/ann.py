@@ -75,6 +75,129 @@ def cosine_topk(
     )
 
 
+def _probe_sigs(q: np.ndarray, planes: np.ndarray, probes: int) -> set[int]:
+    """Multi-probe signature set: the query's bucket plus the buckets
+    reached by flipping its lowest-margin hyperplane bits."""
+    n_planes = planes.shape[1]
+    q_margins = q @ planes
+    q_bits = q_margins > 0
+    flip_order = np.argsort(np.abs(q_margins))
+    sigs = set()
+    for p in range(probes):
+        bits = q_bits.copy()
+        for b in range(p):
+            bits[flip_order[b]] = ~bits[flip_order[b]]
+        sigs.add(int((bits.astype(np.int64) << np.arange(n_planes)).sum()))
+    return sigs
+
+
+def build_ann_lsh_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    n_planes: int = 6,
+    seed: int = 11,
+) -> dict:
+    """Build-once partitioned LSH signature index: each embedding row
+    is written under its hyperplane-signature bucket
+    (`<index>/bucket=<sig>/*.parquet`, a Ray partitioned write), and
+    the planes are persisted alongside. A query then READS ONLY its
+    probe buckets (cosine_topk_lsh_indexed) instead of re-deriving
+    every row's signature per query — the build-once /
+    query-touches-k-buckets shape that scales to corpora where a full
+    signature scan per query is unaffordable."""
+    import json
+    import os
+
+    first = ds.take_batch(1, batch_format="pyarrow")
+    d = len(first["embedding"][0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((d, n_planes))
+    pl_ref = ray.put(planes)
+
+    def sign(batch: pa.Table) -> pa.Table:
+        pl = ray.get(pl_ref)
+        embs = _as_matrix(batch["embedding"])
+        bits = (embs @ pl) > 0
+        sig = (bits.astype(np.int64) << np.arange(pl.shape[1])).sum(axis=1)
+        return batch.append_column("bucket", pa.array(sig, pa.int32()))
+
+    ds.map_batches(sign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+    np.save(os.path.join(index_dir, "planes.npy"), planes)
+    meta = {"n_planes": n_planes, "seed": seed, "dim": d}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def cosine_topk_lsh_indexed(
+    index_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    *,
+    probes: int = 4,
+    exclude_ids: set[int] | None = None,
+) -> pa.Table:
+    """ANN query against a persisted LSH signature index: compute the
+    probe signatures, read ONLY those bucket partitions, exact-rescore
+    within them. Candidates (and results) are identical to
+    cosine_topk_lsh with the same planes — only the read is pruned."""
+    import os
+
+    planes = np.load(os.path.join(index_dir, "planes.npy"))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn else 1.0)
+    sigs = _probe_sigs(q, planes, probes)
+    import glob as _glob
+
+    paths = [
+        f
+        for s in sorted(sigs)
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, f"bucket={s}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    # probe buckets are the TINY side by construction (~probes/2^p of
+    # the corpus): gather them and score as ONE vec_id-ordered matrix —
+    # deterministic float results independent of how the partitioned
+    # write batched rows. If buckets outgrow one node, swap this tail
+    # for cosine_topk over ray.data.read_parquet(paths).
+    import pyarrow.parquet as pq
+
+    tbl = pa.concat_tables(
+        [pq.read_table(f, columns=["vec_id", "embedding"]) for f in paths]
+    )
+    ids = tbl["vec_id"].to_numpy().astype(np.int64, copy=False)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    embs = _as_matrix(tbl["embedding"])[order]
+    if exclude_ids:
+        keep = ~np.isin(ids, np.fromiter(exclude_ids, dtype=np.int64))
+        ids, embs = ids[keep], embs[keep]
+    norms = np.linalg.norm(embs, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (embs / norms[:, None]) @ q
+    top = np.lexsort((ids, -sims))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, top.size + 1), pa.int64()),
+            "vec_id": pa.array(ids[top], pa.int64()),
+            "cosine": pa.array(sims[top], pa.float64()),
+        }
+    )
+
+
 def cosine_topk_lsh(
     ds: ray.data.Dataset,
     query_vec: np.ndarray,
@@ -87,22 +210,15 @@ def cosine_topk_lsh(
 ) -> pa.Table:
     """LSH-bucketed ANN: scan only buckets whose hyperplane signature
     is within `probes` closest to the query's (multi-probe). Recall is
-    approximate; the scale path when a full scan is too expensive."""
+    approximate; this STREAMING variant recomputes signatures per
+    query — use build_ann_lsh_index + cosine_topk_lsh_indexed for
+    repeated queries at scale."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
     q = q / (qn if qn else 1.0)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((q.size, n_planes))
-    q_margins = q @ planes
-    q_bits = q_margins > 0
-    # multi-probe: flip the lowest-margin bits
-    flip_order = np.argsort(np.abs(q_margins))
-    probe_sigs = set()
-    for p in range(probes):
-        bits = q_bits.copy()
-        for b in range(p):
-            bits[flip_order[b]] = ~bits[flip_order[b]]
-        probe_sigs.add(int((bits.astype(np.int64) << np.arange(n_planes)).sum()))
+    probe_sigs = _probe_sigs(q, planes, probes)
     q_ref = ray.put((q, planes, probe_sigs))
     excl = exclude_ids or set()
 

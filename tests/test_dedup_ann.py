@@ -120,6 +120,33 @@ def test_cosine_lsh_finds_planted_neighbor():
     assert got["vec_id"].iloc[0] == 1  # the planted near-dup
 
 
+def test_ann_lsh_indexed_matches_streaming(tmp_path):
+    """The persisted partitioned signature index must return EXACTLY
+    the streaming LSH variant's results (same planes, same probes) —
+    and the query must touch only its probe-bucket partitions."""
+    import os
+
+    from microfts_ray.pipelines.ann import (
+        build_ann_lsh_index,
+        cosine_topk_lsh_indexed,
+    )
+
+    tbl, v = _vec_table()
+    ds = ray.data.from_arrow(tbl)
+    idx = str(tmp_path / "annidx")
+    meta = build_ann_lsh_index(ds, idx)
+    assert meta["n_planes"] == 6 and os.path.exists(f"{idx}/planes.npy")
+    buckets = [d for d in os.listdir(idx) if d.startswith("bucket=")]
+    assert len(buckets) > 4  # data spread over multiple partitions
+    for qi in (0, 10, 20):
+        want = cosine_topk_lsh(ds, v[qi], k=3, exclude_ids={qi}).to_pandas()
+        got = cosine_topk_lsh_indexed(
+            idx, v[qi], k=3, exclude_ids={qi}
+        ).to_pandas()
+        assert got["vec_id"].tolist() == want["vec_id"].tolist()
+        assert got["cosine"].tolist() == want["cosine"].tolist()
+
+
 def test_embedding_pairs_exact_vs_bruteforce():
     from microfts_ray.pipelines.dedup import embedding_pairs_exact
 
