@@ -50,9 +50,13 @@ from .build import TERMS_SCHEMA, _pkg_root, encode_partition_runs
 
 def _balanced_bounds(
     terms_paths: list[str], n_shards: int, sample: int = 64
-) -> list[int]:
+) -> tuple[list[int], np.ndarray]:
     """Term-range boundaries with ~equal posting mass per shard, from
-    a segment sample (exact balance is not needed, only skew avoidance)."""
+    a segment sample (exact balance is not needed, only skew
+    avoidance). Also returns the sampled per-term mass histogram —
+    merge_index uses it to pick ultra-hot terms for doc-range
+    splitting (sampling is unbiased: build partitions are
+    statistically alike)."""
     if len(terms_paths) > sample:
         step = len(terms_paths) / sample
         paths = [terms_paths[int(i * step)] for i in range(sample)]
@@ -72,7 +76,7 @@ def _balanced_bounds(
     for c in cuts:
         bounds.append(max(bounds[-1], min(c, GRAM_3_BASE)))
     bounds.append(GRAM_3_BASE)
-    return bounds
+    return bounds, counts
 
 
 def make_dict_resolver(index_dir: str, manifest: dict):
@@ -202,6 +206,75 @@ def write_shard_table(
     return entry
 
 
+def write_hot_term_shards(
+    index_dir: str, term: int, terms_paths: list[str], n_sub: int
+) -> list[dict]:
+    """Doc-range split of one ultra-hot term: its rows (doc-disjoint
+    per-partition runs) are chopped into n_sub sub-shards of ~equal
+    posting mass, each written as its own file — the escalation the
+    term-range layout reserves for terms heavier than a whole target
+    shard. Sub-shards are doc-DISJOINT row groups (runs never share a
+    doc); queries are unchanged because every kernel already consumes
+    multiple doc-disjoint sources per term. Checkpointed per term."""
+    pid = f"merged-hot-{term:05d}"
+    existing = mf.read_part_checkpoint(index_dir, pid)
+    if existing is not None:
+        return existing["subs"]
+    tables = []
+    for path in terms_paths:
+        f = pq.ParquetFile(path)
+        rgs = [
+            i
+            for i in range(f.metadata.num_row_groups)
+            if (st := f.metadata.row_group(i).column(0).statistics) is None
+            or (st.min <= term <= st.max)
+        ]
+        if not rgs:
+            continue
+        tbl = f.read_row_groups(rgs)
+        keep = tbl["term"].to_numpy() == term
+        if keep.any():
+            tables.append(tbl.filter(keep))
+    rows = pa.concat_tables(tables) if tables else TERMS_SCHEMA.empty_table()
+    ns = rows["n"].to_numpy().astype(np.int64) if rows.num_rows else np.empty(0, np.int64)
+    total = int(ns.sum())
+    n_sub = max(1, min(n_sub, max(1, rows.num_rows)))
+    # contiguous row chops at ~equal posting mass
+    cum = np.cumsum(ns)
+    cuts = [0]
+    for j in range(1, n_sub):
+        cuts.append(
+            max(cuts[-1], int(np.searchsorted(cum, total * j // n_sub)))
+        )
+    cuts.append(rows.num_rows)
+    subs = []
+    for j in range(n_sub):
+        a, b = cuts[j], cuts[j + 1]
+        sub_tbl = rows.slice(a, b - a) if b > a else TERMS_SCHEMA.empty_table()
+        out_dir = os.path.join(index_dir, "merged", f"hot-term={term:05d}")
+        os.makedirs(out_dir, exist_ok=True)
+        rel = f"merged/hot-term={term:05d}/part-{j:03d}.parquet"
+        tmp = os.path.join(index_dir, rel) + f".{uuid.uuid4().hex[:8]}.tmp"
+        pq.write_table(sub_tbl, tmp, row_group_size=512, compression="zstd",
+                       compression_level=3)
+        os.replace(tmp, os.path.join(index_dir, rel))
+        subs.append(
+            {
+                "pid": f"{pid}-{j:03d}",
+                "term": int(term),
+                "segment": {"terms": rel},
+                "stats": {
+                    "n_terms": int(sub_tbl.num_rows),
+                    "n_postings": int(
+                        pa.compute.sum(sub_tbl["n"]).as_py() or 0
+                    ),
+                },
+            }
+        )
+    mf.write_part_checkpoint(index_dir, pid, {"pid": pid, "subs": subs})
+    return subs
+
+
 def stack_segments(index_dir: str, gid: int, paths: list[str]) -> dict:
     """Hierarchical level-1 fan-in: stack whole segment files into one
     term-sorted intermediate (blob pass-through). Only worthwhile when
@@ -278,7 +351,7 @@ def merge_index(
         kw1 = {"concurrency": concurrency} if concurrency else {}
         out = gds.map_batches(run_stack, batch_size=1, num_cpus=1, **kw1).take_all()
         terms_paths = sorted(os.path.join(index_dir, r["path"]) for r in out)
-    bounds = _balanced_bounds(terms_paths, n_shards)
+    bounds, counts = _balanced_bounds(terms_paths, n_shards)
     inner = np.array(bounds[1:-1], dtype=np.int64)
     pkg_root = _pkg_root()
     dead = (
@@ -286,6 +359,18 @@ def merge_index(
         if deleted_docs is not None and len(deleted_docs)
         else None
     )
+    # ultra-hot terms (heavier than a whole target shard) leave the
+    # term-range scheme and split by doc range into their own
+    # sub-shards (write_hot_term_shards); stack mode only — the
+    # rewrite/compaction layout keeps one run per term
+    hot_terms = np.empty(0, dtype=np.int64)
+    target_mass = int(counts.sum()) // max(1, n_shards)
+    if mode == "stack" and dead is None and n_shards > 1 and target_mass > 0:
+        hot_terms = np.flatnonzero(counts > target_mass)[:64]
+    hot_subs_of = {
+        int(t): max(2, int(round(counts[t] / target_mass))) for t in hot_terms
+    }
+    hot_arr = hot_terms.astype(np.int64)
 
     def run_shard(batch: dict) -> dict:
         # direct-read merge: each shard task reads only the row groups
@@ -337,6 +422,8 @@ def merge_index(
                 tbl = f.read_row_groups(rgs)
                 terms = tbl["term"].to_numpy()
                 keep = (terms >= lo) & (terms < hi)
+                if hot_arr.size:
+                    keep &= ~_np.isin(terms, hot_arr)  # hot terms split out
                 if keep.any():
                     tables.append(tbl.filter(keep))
             tbl = (
@@ -361,6 +448,29 @@ def merge_index(
     )
     kwargs = {"concurrency": concurrency} if concurrency else {}
     ds.map_batches(run_shard, batch_size=1, num_cpus=1, **kwargs).materialize()
+    hot_entries: list[dict] = []
+    if hot_subs_of:
+
+        def run_hot(batch: dict) -> dict:
+            import sys
+
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from microfts_ray.pipelines.merge import write_hot_term_shards as whs
+
+            done = []
+            for t, n_sub in zip(batch["term"], batch["n_sub"]):
+                done.append(len(whs(index_dir, int(t), terms_paths, int(n_sub))))
+            return {"term": batch["term"], "n_subs": np.array(done, np.int64)}
+
+        hds = ray.data.from_items(
+            [{"term": t, "n_sub": s} for t, s in hot_subs_of.items()],
+            override_num_blocks=len(hot_subs_of),
+        )
+        hds.map_batches(run_hot, batch_size=1, num_cpus=1, **kwargs).materialize()
+        for t in hot_subs_of:
+            ck = mf.read_part_checkpoint(index_dir, f"merged-hot-{t:05d}")
+            hot_entries.extend(ck["subs"])
     shards = []
     for s in range(n_shards):
         e = mf.read_part_checkpoint(index_dir, f"merged-{s:04d}-of-{n_shards:04d}")
@@ -377,6 +487,7 @@ def merge_index(
             {k: e[k] for k in ("pid", "shard", "lo", "hi", "segment", "stats")}
             for e in shards
         ],
+        "hot": hot_entries,
     }
     mf.commit_manifest(index_dir, manifest)
     return manifest

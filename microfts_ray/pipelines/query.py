@@ -170,10 +170,19 @@ class IndexReader:
             self.n_shards = merged["n_shards"]
             self.shards = [_Segment(index_dir, e) for e in merged["shards"]]
             self._shard_bounds = np.array(merged["bounds"], dtype=np.int64)
+            # ultra-hot terms split by doc range into their own
+            # sub-shards (merge.write_hot_term_shards): routed here,
+            # never through the term-range bounds
+            self.hot_segments: dict[int, list[_Segment]] = {}
+            for e in merged.get("hot", []):
+                self.hot_segments.setdefault(int(e["term"]), []).append(
+                    _Segment(index_dir, e)
+                )
         else:
             self.n_shards = 0
             self.shards = []
             self._shard_bounds = None
+            self.hot_segments = {}
         g = self.manifest["global"]
         self.n_chunks = g["n_chunks"]
         self.n_docs = g["n_docs"]
@@ -224,9 +233,22 @@ class IndexReader:
     # -- posting access ----------------------------------------------------
     def _term_sources(self, term: int) -> list[_Segment]:
         if self.shards:
+            hot = self.hot_segments.get(term)
+            if hot is not None:
+                return hot
             i = int(np.searchsorted(self._shard_bounds, term, side="right")) - 1
             return [self.shards[min(max(i, 0), self.n_shards - 1)]]
         return self.segments
+
+    def _all_term_sources(self) -> list[_Segment]:
+        """Every posting source: term-range shards + hot-term
+        sub-shards (or raw segments when unmerged)."""
+        if not self.shards:
+            return self.segments
+        out = list(self.shards)
+        for segs in self.hot_segments.values():
+            out.extend(segs)
+        return out
 
     def _resolve_dict(self, dict_id: str) -> np.ndarray:
         """dict_id '<pid>:<k>' -> that sub-part's sorted doc_id array
@@ -578,7 +600,7 @@ class IndexReader:
         gmaps = (did_off, g_key, g_dstart, g_dspan)
 
         parts: dict[int, list] = {}
-        for seg in self.shards or self.segments:
+        for seg in self._all_term_sources():
             # skip sources with no hot term (term directory is loaded)
             if not np.isin(terms_arr, seg.terms).any():
                 continue
@@ -811,7 +833,7 @@ class IndexReader:
         self, min_entries: int, parallel: bool | None, persist: bool
     ) -> int:
         totals: dict[int, int] = {}
-        for seg in self.shards or self.segments:
+        for seg in self._all_term_sources():
             for t, n in zip(seg.terms.tolist(), seg.ns.tolist()):
                 totals[t] = totals.get(t, 0) + int(n)
         budget = self._run_cache_cap - self._run_cache_entries

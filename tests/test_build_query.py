@@ -435,6 +435,68 @@ def test_validate_index(reader):
     assert v["ok"] and v["n_docs"] == N_FILES and v["duplicate_doc_ids"] == 0
 
 
+def test_merge_splits_ultra_hot_term(tmp_path_factory):
+    """A gram carrying more mass than a whole target shard must be
+    split by doc range into its own sub-shards (merge.py's declared
+    escalation): shard mass stays within 2x of balanced and queries
+    are unchanged vs the oracle."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from microfts_ray.pipelines.merge import merge_index
+
+    tmp = str(tmp_path_factory.mktemp("hotsplit"))
+    rows = []
+    for i in range(60):
+        # "zzq" is in EVERY line (its grams carry most posting mass);
+        # every 10th line mixes in distinct words for AND queries
+        lines = [
+            f"mix zzq u{i}x{j}" if j % 10 == 0 else "zzq" for j in range(30)
+        ]
+        rows.append(
+            {
+                "repo": "org/hot",
+                "path": f"src/f_{i}.py",
+                "commit": "d" * 40,
+                "lang": "py",
+                "content": "\n".join(lines) + "\n",
+            }
+        )
+    corpus = f"{tmp}/corpus.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), corpus, row_group_size=20)
+    idx = f"{tmp}/idx"
+    build_index([corpus], idx, target_rows_per_part=10)
+    manifest = merge_index(idx, n_shards=8)
+    hot = manifest["merged"]["hot"]
+    assert hot, "no hot term was split"
+    terms_split = {e["term"] for e in hot}
+    # per-unit masses: regular shards + hot sub-shards — no unit above
+    # 2x the balanced target (the criterion the split exists for)
+    masses = [s["stats"]["n_postings"] for s in manifest["merged"]["shards"]]
+    masses += [e["stats"]["n_postings"] for e in hot]
+    assert max(masses) <= 2 * (sum(masses) / 8)
+    # a split term must have >1 sub-shard and route through them
+    r = IndexReader(idx)
+    t0 = next(iter(terms_split))
+    assert len(r.hot_segments[t0]) > 1
+    assert r._term_sources(t0) == r.hot_segments[t0]
+    # queries unchanged vs the oracle (the hot term spans sub-shards)
+    oracle = OracleIndex.build(rows)
+    got = r.search("zzq", "mix")
+    want = oracle.search("zzq", "mix")
+    assert got and [
+        (h["group"], h["doc_id"], h["chunk_id"]) for h in got
+    ] == [(h["group"], h["doc_id"], h["chunk_id"]) for h in want]
+    gb = r.bm25_topk("zzq mix", k=5)
+    wb = oracle.bm25_topk("zzq mix", k=5)
+    assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in gb] == [
+        (h["doc_id"], h["chunk_id"], h["score"]) for h in wb
+    ]
+
+
 def test_merge_resume_per_shard(corpus_dir, tmp_path_factory):
     """A crashed merge re-runs only missing shards."""
     import glob
