@@ -744,6 +744,7 @@ class IndexReader:
         min_entries: int = 10_000,
         parallel: bool | None = None,
         persist: bool = False,
+        term_range: tuple[int, int] | None = None,
     ) -> int:
         """Decode the heaviest terms into the warm caches — serving
         processes call this once at load so query latency reflects
@@ -768,6 +769,12 @@ class IndexReader:
                         self._dense_vec(t)
             return len(self._sorted_kc)
 
+        if term_range is not None:
+            # term-range serving shard: warm ONLY this range; never
+            # consult or write the whole-index warm cache
+            return self._prewarm_build(
+                min_entries, parallel, persist=False, term_range=term_range
+            )
         if self._load_warmcache():
             return _finish_from_cache()
         lock_fd = None
@@ -830,12 +837,19 @@ class IndexReader:
         return False
 
     def _prewarm_build(
-        self, min_entries: int, parallel: bool | None, persist: bool
+        self,
+        min_entries: int,
+        parallel: bool | None,
+        persist: bool,
+        term_range: tuple[int, int] | None = None,
     ) -> int:
         totals: dict[int, int] = {}
         for seg in self._all_term_sources():
             for t, n in zip(seg.terms.tolist(), seg.ns.tolist()):
                 totals[t] = totals.get(t, 0) + int(n)
+        if term_range is not None:
+            lo, hi = term_range
+            totals = {t: n for t, n in totals.items() if lo <= t < hi}
         budget = self._run_cache_cap - self._run_cache_entries
         use_dense = self._dense_space() is not None
         todo = []
@@ -2239,6 +2253,321 @@ class QueryService:
         import ray as _ray
 
         return _ray.get(self._next().call.remote("search", args, kw))
+
+
+class ShardQueryActor:
+    """One term-range serving shard: an IndexReader that warms ONLY
+    its [lo, hi) gram range — a pool of N is collectively warm after
+    ~1/N of the whole-index decode per actor and holds ONE logical hot
+    set. Serves per-term primitives for the front's threshold
+    scatter-gather (top_entries/gather) plus whole routed queries
+    (run); grams outside its range decode lazily when a routed query
+    needs them."""
+
+    def __init__(self, index_dir: str, lo: int, hi: int, min_entries: int = 10_000):
+        self.reader = IndexReader(index_dir)
+        self.lo, self.hi = int(lo), int(hi)
+        self.reader.prewarm(
+            min_entries=min_entries, parallel=False, term_range=(self.lo, self.hi)
+        )
+        self._by_contrib: dict[int, np.ndarray] = {}
+
+    def warm_terms(self) -> list[int]:
+        return sorted(self.reader._term_len_cache)
+
+    def term_info(self, terms: list[int]) -> dict[int, int]:
+        return {int(t): self.reader.chunk_df(int(t)) for t in terms}
+
+    def info_top(self, reqs: list) -> dict:
+        """Fused first round: [(term, stop)] -> {term: (df, keys,
+        contribs, exhausted)} — one RPC instead of term_info +
+        top_entries."""
+        tops = self.top_entries([(t, 0, b) for t, b in reqs])
+        return {
+            int(t): (self.reader.chunk_df(int(t)), *tops[int(t)])
+            for t, _b in reqs
+        }
+
+    def top_entries(self, reqs: list) -> dict:
+        """[(term, start, stop)] -> {term: (keys, contribs, exhausted)}
+        — the term's entries in contribution-DESC order (key asc on
+        ties), positions [start, stop)."""
+        out = {}
+        for t, a, b in reqs:
+            t, a, b = int(t), int(a), int(b)
+            sk = self.reader._sorted_keys(t)
+            if sk is None:
+                out[t] = (np.empty(0, np.int64), np.empty(0, np.float64), True)
+                continue
+            order = self._by_contrib.get(t)
+            if order is None:
+                order = np.lexsort((sk[0], -sk[1]))
+                self._by_contrib[t] = order
+            sel = order[a:b]
+            out[t] = (sk[0][sel], sk[1][sel], b >= order.size)
+        return out
+
+    def gather(self, reqs: tuple) -> dict:
+        """(terms, dense_keys) -> {term: exact contribs at keys}
+        (0.0 = key not in term; real contributions are > 0). One keys
+        array serves every requested term — shipped once per owner."""
+        terms, kc = reqs
+        kc = np.asarray(kc, dtype=np.int64)
+        out = {}
+        for t in terms:
+            t = int(t)
+            sk = self.reader._sorted_keys(t)
+            if sk is None or sk[0].size == 0:
+                out[t] = np.zeros(kc.size, np.float64)
+                continue
+            keys_s, contrib_s = sk
+            idx = np.minimum(np.searchsorted(keys_s, kc), keys_s.size - 1)
+            hit = keys_s[idx] == kc
+            c = np.zeros(kc.size, np.float64)
+            c[hit] = contrib_s[idx[hit]]
+            out[t] = c
+        return out
+
+    def run(self, method: str, args: tuple, kw: dict):
+        return getattr(self.reader, method)(*args, **kw)
+
+    def run_bm25(self, query: str, k: int = 10) -> list[dict]:
+        """Routed whole-query bm25: bulk-warm this query's missing
+        grams first (one sliced decode pass instead of N per-term
+        decodes), then run the exact local path."""
+        grams = sorted(gram_set(query))
+        missing = [g for g in grams if g not in self.reader._sorted_kc]
+        if missing and self.reader._dense_space() is not None:
+            for t, (kk, cc, n) in self.reader.warm_terms_bulk(missing).items():
+                self.reader._sorted_kc[t] = (kk, cc)
+                self.reader._term_len_cache[t] = n
+        return self.reader.bm25_topk(query, k)
+
+
+class ShardedQueryService:
+    """Term-range SHARDED serving tier: N actors each own a contiguous
+    gram range of the merged shards (bounds from the manifest) and
+    prewarm only it — cold serving readiness scales as 1/N per actor
+    and adding actors adds ranges, not copies.
+
+    bm25_topk runs a Fagin-style THRESHOLD scatter-gather over the
+    owners: per-term contribution-descending lists are fetched in
+    growing rounds, candidates rescored exactly via per-term gathers
+    (ascending-term float adds — the oracle's accumulation order), and
+    iteration stops when the k-th exact score beats the sum of the
+    non-exhausted terms' last fetched contributions — unseen pairs are
+    then provably out, so results are BIT-IDENTICAL to
+    IndexReader.bm25_topk. search/fuzzy route whole to the rarest
+    gram's owner. Requires a merged index; in the non-dense regime
+    bm25 also routes whole (MaxScore runs on the owner)."""
+
+    def __init__(
+        self, index_dir: str, n_groups: int = 4, min_entries: int = 10_000
+    ):
+        import ray as _ray
+
+        from .build import _pkg_root
+
+        manifest = mf.load_manifest(index_dir)
+        merged = manifest.get("merged")
+        if not merged:
+            raise ValueError("ShardedQueryService requires a merged index")
+        bounds = merged["bounds"]
+        n_sh = merged["n_shards"]
+        n_groups = max(1, min(n_groups, n_sh))
+        cuts = [bounds[(g * n_sh) // n_groups] for g in range(n_groups)]
+        cuts.append(bounds[-1])
+        self._range_lo = np.array(cuts[:-1], dtype=np.int64)
+        self._ranges = list(zip(cuts[:-1], cuts[1:]))
+        pkg_root = _pkg_root()
+
+        @_ray.remote
+        class _Shard:
+            def __init__(self, index_dir, lo, hi, min_entries):
+                import sys
+
+                if pkg_root not in sys.path:
+                    sys.path.insert(0, pkg_root)
+                from microfts_ray.pipelines.query import ShardQueryActor as SA
+
+                self.inner = SA(index_dir, lo, hi, min_entries)
+
+            def call(self, method, args, kw):
+                return getattr(self.inner, method)(*args, **kw)
+
+        self._actors = [
+            _Shard.remote(index_dir, lo, hi, min_entries)
+            for lo, hi in self._ranges
+        ]
+        # front-side reader: doc metadata + dense space for result
+        # assembly only — it never decodes postings
+        self.reader = IndexReader(index_dir)
+        self._ray = _ray
+        self._df_cache: dict[int, int] = {}  # df is generation-stable
+        # per-gram contrib-desc prefix lists, cached ACROSS queries
+        # (tiny: top-m keys+contribs per seen gram): repeat-vocabulary
+        # queries pay one gather round only
+        self._top_cache: dict[int, list] = {}  # g -> [keys, contribs, ex, upto]
+
+    def ready(self) -> list[list[int]]:
+        """Block until every shard finished its range warm; returns
+        each shard's warm term list (tests assert range containment)."""
+        return self._ray.get(
+            [a.call.remote("warm_terms", (), {}) for a in self._actors]
+        )
+
+    def _owner(self, term: int) -> int:
+        i = int(np.searchsorted(self._range_lo, term, side="right")) - 1
+        return min(max(i, 0), len(self._actors) - 1)
+
+    def _fan(self, method: str, per_owner: dict) -> dict:
+        futs = [
+            self._actors[o].call.remote(method, (reqs,), {})
+            for o, reqs in per_owner.items()
+        ]
+        out = {}
+        for r in self._ray.get(futs):
+            out.update(r)
+        return out
+
+    def _route_whole(self, method: str, grams, infos, args, kw):
+        # whole-query routing: the rarest gram's owner runs it (other
+        # grams decode lazily on that actor and stay in its run cache)
+        g0 = min(grams, key=lambda g: infos[g])
+        return self._ray.get(
+            self._actors[self._owner(g0)].call.remote("run", (method, args, kw), {})
+        )
+
+    def _term_infos(self, grams) -> dict[int, int]:
+        missing = [g for g in grams if g not in self._df_cache]
+        if missing:
+            per_owner: dict[int, list[int]] = {}
+            for g in missing:
+                per_owner.setdefault(self._owner(g), []).append(g)
+            self._df_cache.update(self._fan("term_info", per_owner))
+        return {g: self._df_cache[g] for g in grams}
+
+    def bm25_topk(self, query: str, k: int = 10) -> list[dict]:
+        grams = sorted(gram_set(query))
+        if not grams:
+            return []
+        m = max(64, 4 * k)
+        # fused first round for unseen grams: df + top list in one RPC
+        need = [g for g in grams if g not in self._df_cache]
+        if need:
+            per_owner: dict[int, list] = {}
+            for g in need:
+                per_owner.setdefault(self._owner(g), []).append((g, m))
+            for g, (df, kk_, cc_, ex) in self._fan("info_top", per_owner).items():
+                self._df_cache[g] = df
+                self._top_cache[g] = [kk_, cc_, bool(ex), m]
+        infos = {g: self._df_cache[g] for g in grams}
+        grams = [g for g in grams if infos[g] > 0]
+        if not grams:
+            return []
+        dense = self.reader._dense_space()
+        if dense is None:
+            g0 = min(grams, key=lambda g: infos[g])
+            return self._ray.get(
+                self._actors[self._owner(g0)].call.remote(
+                    "run_bm25", (query, k), {}
+                )
+            )
+        doc_ids, base = dense
+        rounds = 0
+        while True:
+            rounds += 1
+            reqs_by_owner: dict[int, list] = {}
+            for g in grams:
+                tc = self._top_cache.get(g)
+                if tc is None:
+                    tc = [np.empty(0, np.int64), np.empty(0, np.float64), False, 0]
+                    self._top_cache[g] = tc
+                if not tc[2] and tc[3] < m:
+                    reqs_by_owner.setdefault(self._owner(g), []).append(
+                        (g, tc[3], m)
+                    )
+            if reqs_by_owner:
+                for g, (kk_, cc_, ex) in self._fan(
+                    "top_entries", reqs_by_owner
+                ).items():
+                    tc = self._top_cache[g]
+                    tc[0] = np.concatenate([tc[0], kk_])
+                    tc[1] = np.concatenate([tc[1], cc_])
+                    tc[2] = bool(ex)
+                    tc[3] = m
+            cand = np.unique(
+                np.concatenate([self._top_cache[g][0] for g in grams])
+            )
+            gterms: dict[int, list] = {}
+            for g in grams:
+                gterms.setdefault(self._owner(g), []).append(g)
+            contribs = self._fan(
+                "gather", {o: (ts, cand) for o, ts in gterms.items()}
+            )
+            score = np.zeros(cand.size, np.float64)
+            for g in grams:  # ascending-term adds: oracle float order
+                c = contribs[g]
+                hit = c != 0.0
+                score[hit] += c[hit]
+            idx = np.searchsorted(base, cand, side="right") - 1
+            d = doc_ids[idx]
+            c_arr = (cand - base[idx]).astype(np.uint64)
+            live = self.reader._live_mask(d)
+            d, c_arr, score = d[live], c_arr[live], score[live]
+            order = np.lexsort((c_arr, d, -score))
+            all_ex = True
+            T = 0.0
+            for g in grams:
+                kk_, cc_, ex, _u = self._top_cache[g]
+                if not ex:
+                    all_ex = False
+                    T += float(cc_[-1]) if cc_.size else 0.0
+            kth = float(score[order[k - 1]]) if order.size >= k else -1.0
+            if all_ex or (order.size >= k and kth > T):
+                top = order[:k]
+                return [
+                    {
+                        "rank": i + 1,
+                        "doc_id": int(d[j]),
+                        "chunk_id": int(c_arr[j]),
+                        "score": float(score[j]),
+                        "group": self.reader.doc_group(int(d[j])),
+                        "line": int(c_arr[j]) + 1,
+                    }
+                    for i, j in enumerate(top)
+                ]
+            if rounds >= 2:
+                # flat-score corpora defeat the threshold bound (all
+                # contributions near-equal, kth never beats T): route
+                # the whole query to the rarest gram's owner instead of
+                # paging ever-deeper lists through the front; the owner
+                # bulk-warms the query's foreign grams once
+                g0 = min(grams, key=lambda g: infos[g])
+                return self._ray.get(
+                    self._actors[self._owner(g0)].call.remote(
+                        "run_bm25", (query, k), {}
+                    )
+                )
+            m *= 4
+
+    def search(self, *args: str, **kw) -> list[dict]:
+        grams = sorted(gram_set(*args, partial=kw.get("partial", False)))
+        if not grams:
+            return []
+        infos = self._term_infos(grams)
+        if any(infos.get(g, 0) == 0 for g in grams):
+            return []  # candidates() semantics: a missing gram empties
+        return self._route_whole("search", grams, infos, args, kw)
+
+    def fuzzy(self, *args: str, **kw) -> list[dict]:
+        grams = sorted(gram_set(*args, partial=True))
+        if not grams:
+            return []
+        infos = self._term_infos(grams)
+        if any(infos.get(g, 0) == 0 for g in grams):
+            return []  # fuzzy() returns empty when any gram is missing
+        return self._route_whole("fuzzy", grams, infos, args, kw)
 
 
 def _span(sorted_terms: np.ndarray, term: int) -> tuple[int, int]:

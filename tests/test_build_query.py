@@ -587,6 +587,38 @@ def test_query_actor_pool(reader, oracle):
     ]
 
 
+def test_sharded_query_service_parity(reader, oracle):
+    """Term-range sharded serving: every shard actor warms ONLY its
+    gram range, and the front's threshold scatter-gather bm25 plus
+    routed search/fuzzy stay bit-identical to a local reader."""
+    from microfts_ray.pipelines.query import ShardedQueryService
+
+    if not reader.shards:
+        pytest.skip("sharded serving requires a merged index")
+    svc = ShardedQueryService(reader.index_dir, n_groups=2, min_entries=100)
+    warm = svc.ready()
+    assert sum(len(w) for w in warm) > 0
+    for (lo, hi), terms in zip(svc._ranges, warm):
+        assert all(lo <= t < hi for t in terms)  # 1/N warm per actor
+    for q in ["def", "import mod_1", "return a", "def f_1(a, b):"]:
+        got = svc.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(r["doc_id"], r["chunk_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["chunk_id"], r["score"]) for r in want
+        ], q
+    got = svc.search("import", "mod_1")
+    want = oracle.search("import", "mod_1")
+    assert [(r["group"], r["doc_id"], r["chunk_id"], r["text"]) for r in got] == [
+        (r["group"], r["doc_id"], r["chunk_id"], r["text"]) for r in want
+    ]
+    gf = svc.fuzzy("def f_1(a, b)", threshold=0.6)
+    wf = oracle.fuzzy("def f_1(a, b)", threshold=0.6)
+    assert [(r["doc_id"], r["chunk_id"], r["percent"]) for r in gf] == [
+        (r["doc_id"], r["chunk_id"], r["percent"]) for r in wf
+    ]
+    assert svc.bm25_topk("nosuchgramxyz", k=5) == []
+
+
 def test_prewarm_serial_path_builds_warm_set_and_persists(
     corpus_dir, tmp_path_factory, oracle
 ):
