@@ -82,6 +82,15 @@ def go_printf(fmt: str, args: tuple) -> str:
 
 def _print_hits(hits: list[dict], args, reader=None) -> bool:
     fmt = getattr(args, "format", None)
+    if fmt and reader is not None and hits:
+        # POSITION needs full doc contents: prefetch them in ONE bulk
+        # read (chunk_start alone would fetch one doc per hit)
+        import numpy as np
+
+        reader.chunk_texts(
+            np.array([h["doc_id"] for h in hits], np.uint64),
+            np.array([h["chunk_id"] for h in hits], np.uint64),
+        )
     for h in hits:
         fname = h["group"]
         if fmt:
