@@ -195,44 +195,68 @@ def run_build_only() -> dict:
     }
 
 
+def _prime_corpus(paths: list[str]) -> None:
+    """Pull the corpus into the page cache so both scaling legs see
+    the same I/O state (this deployment's kernel reclaims page cache
+    aggressively; a cold-disk 2-cpu leg swings the ratio ~2x)."""
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(16 << 20):
+                pass
+
+
 def run_scaling() -> dict:
     """Same build at N and 4N cpus in fresh processes (north_rule
-    scaling criterion, sandbox form)."""
-    _ensure_corpus()  # generate once outside both timed runs
+    scaling criterion, sandbox form). Each leg runs SCALING_REPS
+    times (default 3), legs interleaved so ambient drift hits both,
+    corpus page cache primed before every rep; efficiency is computed
+    from per-leg MEDIAN throughput (single runs on this box swing
+    with cache-reclaim luck; per-rep values are reported)."""
+    paths = _ensure_corpus()  # generate once outside all timed runs
     lo = int(os.environ.get("SCALING_LO", "2"))
     hi = int(os.environ.get("SCALING_HI", "8"))
-    results = {}
-    for n in (lo, hi):
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(n),
-            BENCH_FILES=str(BENCH_FILES),
-            BENCH_ROWS_PER_PART=str(ROWS_PER_PART),
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--build-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3600,
-        )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[n] = json.loads(line)
-    thr_lo = results[lo]["build_files_per_sec"]
-    thr_hi = results[hi]["build_files_per_sec"]
-    eff = thr_hi / (thr_lo * (hi / lo))
+    reps = int(os.environ.get("SCALING_REPS", "3"))
+    thr: dict[int, list[float]] = {lo: [], hi: []}
+    secs: dict[int, list[float]] = {lo: [], hi: []}
+    for _r in range(reps):
+        for n in (lo, hi):
+            _prime_corpus(paths)
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(n),
+                BENCH_FILES=str(BENCH_FILES),
+                BENCH_ROWS_PER_PART=str(ROWS_PER_PART),
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--build-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            line = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            rec = json.loads(line)
+            thr[n].append(rec["build_files_per_sec"])
+            secs[n].append(rec["value"])
+    med_lo = statistics.median(thr[lo])
+    med_hi = statistics.median(thr[hi])
+    eff = med_hi / (med_lo * (hi / lo))
     return {
         "metric": f"index-build scaling {lo}->{hi} cpus",
         "value": round(eff, 3),
         "unit": "efficiency",
         "queries": {
-            f"build_sec_cpus{lo}": results[lo]["value"],
-            f"build_sec_cpus{hi}": results[hi]["value"],
+            f"build_sec_cpus{lo}": round(statistics.median(secs[lo]), 3),
+            f"build_sec_cpus{hi}": round(statistics.median(secs[hi]), 3),
         },
         "sf": CORPUS_DIR,
         "num_cpus": hi,
-        "throughput_files_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+        "throughput_files_per_sec": {str(lo): med_lo, str(hi): med_hi},
+        "throughput_reps": {str(lo): thr[lo], str(hi): thr[hi]},
         "scaling_efficiency": round(eff, 3),
+        "scaling_reps": reps,
         "bench_corpus_files": BENCH_FILES,
     }
 
