@@ -283,6 +283,31 @@ def q_bm25_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def q_bm25_chunk(sf_dir: str) -> pa.Table:
+    """CHUNK-level BM25 top-k — the dense f32-candidate +
+    exact-float64-rescore serving path (§7.0 north_rule op), distinct
+    from the doc-level bm25_topk entry."""
+    from microfts_ray.pipelines.docsearch import get_reader, hit_doc_ids
+
+    top = get_reader(sf_dir).bm25_topk("hash table merge", k=10)
+    ids = hit_doc_ids(top)
+    return pa.Table.from_pylist(
+        [
+            {"rank": r["rank"], "doc_id": d, "score": r["score"]}
+            for r, d in zip(top, ids)
+        ]
+    )
+
+
+def q_search_regexp(sf_dir: str) -> pa.Table:
+    """M6: verified search with a regexp result filter on chunk text."""
+    from microfts_ray.pipelines.docsearch import get_reader, hit_doc_ids
+
+    hits = get_reader(sf_dir).search("hash", regexp_filter="tabl[a-z]*")
+    ids = sorted(hit_doc_ids(hits))
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
 def q_fuzzy_search(sf_dir: str) -> pa.Table:
     from microfts_ray.pipelines.docsearch import get_reader, hit_doc_ids
 
@@ -413,6 +438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         # rows-only (non-SQL-expressible engine ops)
         "bm25_topk": q_bm25_topk,
+        "bm25_chunk": q_bm25_chunk,
+        "search_regexp": q_search_regexp,
         "fuzzy_search": q_fuzzy_search,
         "gram_candidates": q_gram_candidates,
         "minhash_near_dup": q_minhash_near_dup,
@@ -579,6 +606,12 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _ops.fingerprint_fixture_sql(),
         "minhash_near_dup": _ops.minhash_fixture_sql(),
         "bm25_topk": _ops.bm25_fixture_sql(),
+        "bm25_chunk": _ops.bm25_chunk_fixture_sql(),
+        "search_regexp": (
+            "SELECT doc_id FROM documents WHERE "
+            f"regexp_matches(text, '{_word_re('hash')}', 'i') AND "
+            "regexp_matches(text, 'tabl[a-z]*') ORDER BY doc_id"
+        ),
         "fuzzy_search": _ops.fuzzy_fixture_sql(),
         "gram_candidates": _ops.candidates_fixture_sql(),
         "ann_lsh": _ops.ann_lsh_fixture_sql(),

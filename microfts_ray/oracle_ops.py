@@ -280,6 +280,18 @@ def bm25_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(rows, ["rank", "doc_id", "score"], ["BIGINT", "BIGINT", "DOUBLE"])
 
 
+def bm25_chunk_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """CHUNK-level BM25 (the dense f32-candidate + exact-rescore
+    serving path, distinct from the doc-level variant): independent
+    scalar recomputation via OracleIndex.bm25_topk."""
+    top = _oracle_index(sf_dir).bm25_topk("hash table merge", k=10)
+    rows = [
+        (i + 1, _group_to_doc_id(r["group"]), r["score"])
+        for i, r in enumerate(top)
+    ]
+    return values_sql(rows, ["rank", "doc_id", "score"], ["BIGINT", "BIGINT", "DOUBLE"])
+
+
 def fuzzy_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     hits = _oracle_index(sf_dir).fuzzy("merge batch", threshold=0.5, sort_all=True)
     rows = [(_group_to_doc_id(h["group"]), h["percent"]) for h in hits]
