@@ -651,7 +651,10 @@ class IndexReader:
             return
         doc = dec["doc_id"]  # RAW RANKS for rank-encoded rows
         chunk = dec["chunk_id"]
-        ck64 = chunk.astype(np.int64)
+        # values are tiny (chunk ordinals / dict ranks): reinterpret
+        # uint64 -> int64 as a zero-copy view instead of per-slice
+        # astype copies (a measured multi-second warmup tax)
+        ck64 = chunk.view(np.int64)
         total = doc.size
         if dec["has_dl"]:
             dl = dec["dl"]
@@ -672,7 +675,7 @@ class IndexReader:
             )[row_codes]
             eoff = np.repeat(row_off, ns_rows)
             plain = eoff < 0
-            slot = eoff + doc.astype(np.int64)
+            slot = eoff + doc.view(np.int64)
             slot[plain] = 0  # safe placeholder, overwritten below
             keys = g_key[slot] + ck64
             if not dec["has_dl"]:
