@@ -495,6 +495,21 @@ def test_merge_splits_ultra_hot_term(tmp_path_factory):
     assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in gb] == [
         (h["doc_id"], h["chunk_id"], h["score"]) for h in wb
     ]
+    # deleting a doc after a hot-split merge must keep queries correct
+    # (tombstone anti-join applies across hot sub-shards too)
+    from microfts_ray.pipelines.update import delete_doc
+
+    victim = rows[7]
+    delete_doc(idx, victim["repo"], victim["path"], victim["commit"])
+    r2 = IndexReader(idx)
+    got2 = r2.search("zzq", "mix")
+    want2 = [
+        h for h in oracle.search("zzq", "mix")
+        if h["group"] != f"{victim['repo']}/{victim['path']}@{victim['commit']}"
+    ]
+    assert [(h["group"], h["chunk_id"]) for h in got2] == [
+        (h["group"], h["chunk_id"]) for h in want2
+    ]
 
 
 def test_merge_resume_per_shard(corpus_dir, tmp_path_factory):
