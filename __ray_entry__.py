@@ -355,10 +355,21 @@ def q_embedding_neardup(sf_dir: str) -> Any:
     from microfts_ray.pipelines.dedup import embedding_neardup_pairs
 
     # testdata embeddings are near-orthogonal (max pairwise cosine ~0.5
-    # at sf0.01): 0.35 yields a small non-empty pair set
-    return embedding_neardup_pairs(
+    # at sf0.01): 0.35 yields a small non-empty pair set. Cosines are
+    # rounded to 9 decimals for the oracle compare only — the
+    # within-bucket matmul's row order is a Ray groupby artifact and
+    # may differ from the scalar oracle's by an ulp.
+    ds = embedding_neardup_pairs(
         _table(sf_dir, "embeddings"), threshold=0.35, n_planes=4
     )
+
+    def rnd(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = b.schema.get_field_index("cosine")
+        return b.set_column(i, "cosine", pc.round(b["cosine"], ndigits=9))
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
 
 
 def q_embedding_neardup_exact(sf_dir: str) -> Any:
@@ -615,5 +626,6 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search": _ops.fuzzy_fixture_sql(),
         "gram_candidates": _ops.candidates_fixture_sql(),
         "ann_lsh": _ops.ann_lsh_fixture_sql(),
+        "embedding_neardup": _ops.embedding_neardup_fixture_sql(),
         "embedding_neardup_exact": _ops.embedding_exact_fixture_sql(),
     }

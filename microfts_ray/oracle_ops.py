@@ -329,6 +329,57 @@ def embedding_exact_fixture_sql(
     return values_sql(rows, ["a", "b", "cosine"], ["BIGINT", "BIGINT", "DOUBLE"])
 
 
+def embedding_neardup_scalar(
+    ids: list[int],
+    embs: np.ndarray,
+    *,
+    threshold: float,
+    n_planes: int,
+    seed: int = 11,
+    max_bucket: int = 512,
+) -> list[tuple[int, int, float]]:
+    """Independent recomputation of the LSH near-dup pipeline:
+    hyperplane-signature buckets, exact within-bucket cosine,
+    pairs >= threshold; buckets over max_bucket drop (the engine's
+    documented recall cap). Cosines rounded to 9 decimals — the
+    engine's within-bucket matmul row order is a Ray groupby artifact
+    and can differ by an ulp."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((embs.shape[1], n_planes))
+    bits = (embs.astype(np.float64) @ planes) > 0
+    bucket = (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+    out: list[tuple[int, int, float]] = []
+    for b in np.unique(bucket):
+        sel = np.flatnonzero(bucket == b)
+        if not (2 <= sel.size <= max_bucket):
+            continue
+        sub = embs[sel].astype(np.float64)
+        norms = np.linalg.norm(sub, axis=1)
+        norms[norms == 0] = 1.0
+        unit = sub / norms[:, None]
+        sims = unit @ unit.T
+        bids = [ids[i] for i in sel]
+        for ii in range(sel.size):
+            for jj in range(ii + 1, sel.size):
+                if sims[ii, jj] >= threshold:
+                    a, bb = sorted((bids[ii], bids[jj]))
+                    out.append((a, bb, round(float(sims[ii, jj]), 9)))
+    out.sort()
+    return out
+
+
+def embedding_neardup_fixture_sql(
+    sf_dir: str = ORACLE_SF_DIR, threshold: float = 0.35, n_planes: int = 4
+) -> str:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_pylist()
+    embs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    rows = embedding_neardup_scalar(
+        ids, embs, threshold=threshold, n_planes=n_planes
+    )
+    return values_sql(rows, ["a", "b", "cosine"], ["BIGINT", "BIGINT", "DOUBLE"])
+
+
 def ann_lsh_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     ids = t["vec_id"].to_pylist()
