@@ -378,6 +378,22 @@ def q_embedding_neardup_exact(sf_dir: str) -> Any:
     return embedding_pairs_exact(_table(sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_media_features(sf_dir: str) -> Any:
+    """Multimodal actor-pool pipeline (synthesize -> decode ->
+    features); deterministic stub decode so the driver's value-hash
+    gate applies (real WAV/PPM decoders are pytest-covered)."""
+    import ray.data as rd
+
+    from microfts_ray.pipelines.multimodal import (
+        decode_media,
+        media_features,
+        synthesize_media,
+    )
+
+    ds = rd.from_arrow(synthesize_media(60))
+    return media_features(decode_media(ds, concurrency=2, batch_size=16))
+
+
 def q_lang_id(sf_dir: str) -> Any:
     from microfts_ray.pipelines.textstats import lang_id
 
@@ -459,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "lang_id": q_lang_id,
+        "media_features": q_media_features,
         "fingerprint": q_fingerprint,
         "ann_lsh": q_ann_lsh,
     }
@@ -608,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY rank LIMIT 10"
         ),
         "lang_id": _LANG_ID_SQL,
+        "media_features": _ops.media_features_fixture_sql(),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         # engine-specific operators: fixture oracles — an INDEPENDENT
         # scalar recomputation (original per-row bigint/blake2b

@@ -380,6 +380,31 @@ def embedding_neardup_fixture_sql(
     return values_sql(rows, ["a", "b", "cosine"], ["BIGINT", "BIGINT", "DOUBLE"])
 
 
+def media_features_fixture_sql(n: int = 60) -> str:
+    """Independent scalar recomputation of the multimodal pipeline's
+    deterministic stub decode + feature stage: payload from
+    synthesize_media's generator, samples = blake2b-16 digest bytes,
+    mean/std over them (float64). Real-codec rows (wav/ppm) follow the
+    same stub contract in the driver query — the REAL decoders are
+    pytest-covered separately (round-trip + non-stub decode tests)."""
+    import hashlib as _h
+
+    from .pipelines.multimodal import synthesize_media
+
+    rows = []
+    for r in synthesize_media(n).to_pylist():
+        digest = _h.blake2b(r["payload"], digest_size=16).digest()
+        vals = np.frombuffer(digest, dtype=np.uint8)
+        rows.append(
+            (r["media_id"], r["kind"], float(np.mean(vals)), float(np.std(vals)))
+        )
+    return values_sql(
+        rows,
+        ["media_id", "kind", "feat_mean", "feat_std"],
+        ["BIGINT", "VARCHAR", "DOUBLE", "DOUBLE"],
+    )
+
+
 def ann_lsh_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     ids = t["vec_id"].to_pylist()

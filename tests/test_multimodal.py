@@ -30,10 +30,55 @@ def test_decode_pipeline_stub():
     assert out["feat_mean"].tolist() == out2["feat_mean"].tolist()
 
 
-def test_decode_real_raises():
+def test_decode_real_raises_for_library_formats():
     dec = MediaDecoder(decode_stub=False)
     with pytest.raises(NotImplementedError):
-        dec._decode(b"xx", "image")
+        dec._decode(b"xx", "image", "image/png")
+    with pytest.raises(NotImplementedError):
+        dec._decode(b"xx", "video", "video/mp4")
+
+
+def test_real_wav_and_ppm_decode_roundtrip():
+    """The stdlib codecs are REAL: WAV and PPM payloads round-trip and
+    the non-stub decoder extracts true samples/pixels."""
+    import numpy as np
+
+    from microfts_ray.pipelines.multimodal import (
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav,
+    )
+
+    sig = (np.sin(np.arange(500) * 0.3) * 2000).astype(np.int16)
+    samples, fr = decode_wav(encode_wav(sig, 8000))
+    assert fr == 8000 and np.array_equal(samples, sig)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(9, 7, 3)).astype(np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # non-stub decode over the synthesized table: real samples for
+    # wav/ppm rows (video stays library-dependent -> excluded here)
+    tbl = synthesize_media(12)
+    dec = MediaDecoder(decode_stub=False)
+    for r in tbl.to_pylist():
+        if r["kind"] == "video":
+            continue
+        out = dec._decode(r["payload"], r["kind"], r["mime"])
+        assert 0 < out.size <= 256 and out.dtype == np.uint8
+
+
+def test_resize_images_real():
+    import numpy as np
+
+    from microfts_ray.pipelines.multimodal import decode_ppm, resize_images
+
+    ds = ray.data.from_arrow(synthesize_media(12))
+    out = resize_images(ds, 8, 6, concurrency=2, batch_size=4).to_pandas()
+    n_images = sum(1 for r in synthesize_media(12).to_pylist() if r["kind"] == "image")
+    assert len(out) == n_images
+    assert (out["width"] == 8).all() and (out["height"] == 6).all()
+    pix = decode_ppm(out["payload"].iloc[0])
+    assert pix.shape == (6, 8, 3)
 
 
 def test_frame_sample_plan():
