@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..functions.grams import gram_set
-from ..functions.postings import PostingRun, decode_run, merge_runs
+from ..functions.postings import PostingRun
 from ..functions.setops import (
     group_sum,
     pair_group_sum,
