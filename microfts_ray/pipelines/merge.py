@@ -313,6 +313,7 @@ def merge_index(
     mode: str = "stack",
     level1_threshold: int = 512,
     fan_in: int = 32,
+    emit_warm: bool = False,
 ) -> dict:
     """Merge all build segments into n_shards mass-balanced term-range
     shards; records bounds in the manifest (idempotent, per-shard
@@ -490,4 +491,13 @@ def merge_index(
         "hot": hot_entries,
     }
     mf.commit_manifest(index_dir, manifest)
+    if emit_warm and mode == "stack" and dead is None:
+        # emit the serving warm cache as an index artifact while the
+        # just-written shard files are page-cache-hot: one task per
+        # shard persists its range's (sorted keys, contribs) under
+        # warmcache/<sha>/shard=K/, and serving readers mmap instead
+        # of decoding (query.emit_warm_cache)
+        from .query import emit_warm_cache
+
+        emit_warm_cache(index_dir)
     return manifest

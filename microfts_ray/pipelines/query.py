@@ -487,34 +487,78 @@ class IndexReader:
             json.dumps(self.manifest, sort_keys=True).encode(), digest_size=8
         ).hexdigest()
 
-    def _load_warmcache(self) -> bool:
+    def _load_warmcache(
+        self,
+        term_range: tuple[int, int] | None = None,
+        min_entries: int | None = None,
+    ) -> bool:
         """mmap a persisted warm set (sorted keys + contribs per hot
-        term) written by a previous prewarm(persist=True). Loading is
+        term) written by a previous prewarm(persist=True) or by the
+        merge's emit_warm_cache (sharded layout). Loading is
         page-table work, not reads: on one node every serving actor
         SHARES the cached pages, so an N-actor pool holds ONE copy of
-        the hot set instead of N (the round-1 pool's flaw)."""
+        the hot set instead of N (the round-1 pool's flaw). With
+        term_range, only terms in [lo, hi) are loaded (and in the
+        sharded layout only the intersecting shard files are opened) —
+        the term-range serving tier's 1/N warm."""
         import json
         import os
 
         d = self._warmcache_dir()
-        meta_p = os.path.join(d, "meta.json")
-        if not os.path.exists(meta_p):
+        sha = self._manifest_sha()
+
+        def load_one(dd: str) -> bool:
+            meta_p = os.path.join(dd, "meta.json")
+            if not os.path.exists(meta_p):
+                return False
+            try:
+                with open(meta_p) as f:
+                    meta = json.load(f)
+                if meta.get("manifest_sha") != sha:
+                    return False  # stale cache from an older generation
+                if term_range is not None and "lo" in meta:
+                    if meta["hi"] <= term_range[0] or meta["lo"] >= term_range[1]:
+                        return True  # disjoint shard: nothing to load
+                keys = np.load(os.path.join(dd, "keys.npy"), mmap_mode="r")
+                contribs = np.load(
+                    os.path.join(dd, "contribs.npy"), mmap_mode="r"
+                )
+            except OSError:
+                return False  # cache dir swept by a newer generation
+            offs = np.array(meta["offsets"], dtype=np.int64)
+            for i, t in enumerate(meta["terms"]):
+                t = int(t)
+                if term_range is not None and not (
+                    term_range[0] <= t < term_range[1]
+                ):
+                    continue
+                sl = slice(offs[i], offs[i + 1])
+                self._sorted_kc[t] = (keys[sl], contribs[sl])
+                self._term_len_cache[t] = int(offs[i + 1] - offs[i])
+            return True
+
+        if load_one(d):  # flat layout (prewarm(persist=True))
+            return True
+        # sharded layout (emit_warm_cache at merge time): complete only
+        # when the driver's sharded.json marker exists
+        sh_p = os.path.join(d, "sharded.json")
+        if not os.path.exists(sh_p):
             return False
         try:
-            with open(meta_p) as f:
-                meta = json.load(f)
-            if meta.get("manifest_sha") != self._manifest_sha():
-                return False  # stale cache from an older index generation
-            keys = np.load(os.path.join(d, "keys.npy"), mmap_mode="r")
-            contribs = np.load(os.path.join(d, "contribs.npy"), mmap_mode="r")
+            with open(sh_p) as f:
+                sh = json.load(f)
+            if sh.get("manifest_sha") != sha:
+                return False
+            if min_entries is not None and sh.get("min_entries", 0) > min_entries:
+                return False  # caller wants DEEPER warming than emitted
         except OSError:
-            return False  # cache dir swept by a newer generation's writer
-        offs = np.array(meta["offsets"], dtype=np.int64)
-        for i, t in enumerate(meta["terms"]):
-            sl = slice(offs[i], offs[i + 1])
-            self._sorted_kc[int(t)] = (keys[sl], contribs[sl])
-            self._term_len_cache[int(t)] = int(offs[i + 1] - offs[i])
-        return True
+            return False
+        import glob as _glob
+
+        shard_dirs = sorted(_glob.glob(os.path.join(d, "shard=*")))
+        if len(shard_dirs) != sh.get("n_shards"):
+            return False
+        return all(load_one(dd) for dd in shard_dirs)
 
     def _save_warmcache(self) -> None:
         import json
@@ -773,12 +817,17 @@ class IndexReader:
             return len(self._sorted_kc)
 
         if term_range is not None:
-            # term-range serving shard: warm ONLY this range; never
-            # consult or write the whole-index warm cache
+            # term-range serving shard: warm ONLY this range. A
+            # merge-emitted sharded warm cache turns this into an mmap
+            # of the intersecting shard files; else decode the range.
+            if self._load_warmcache(
+                term_range=term_range, min_entries=min_entries
+            ):
+                return _finish_from_cache()
             return self._prewarm_build(
                 min_entries, parallel, persist=False, term_range=term_range
             )
-        if self._load_warmcache():
+        if self._load_warmcache(min_entries=min_entries):
             return _finish_from_cache()
         lock_fd = None
         if persist:
@@ -788,7 +837,9 @@ class IndexReader:
             # full decode — N× the cold-start cost for nothing)
             lock_fd = self._try_warm_lock()
             if lock_fd is None:
-                if self._wait_warmcache() and self._load_warmcache():
+                if self._wait_warmcache() and self._load_warmcache(
+                    min_entries=min_entries
+                ):
                     return _finish_from_cache()
                 lock_fd = self._try_warm_lock()  # builder died: take over
         try:
@@ -2571,6 +2622,155 @@ class ShardedQueryService:
         if any(infos.get(g, 0) == 0 for g in grams):
             return []  # fuzzy() returns empty when any gram is missing
         return self._route_whole("fuzzy", grams, infos, args, kw)
+
+
+def emit_warm_shard(
+    index_dir: str,
+    sha: str,
+    shard: int,
+    lo: int,
+    hi: int,
+    min_entries: int,
+    dense,
+    dl_space,
+    maps,
+) -> int:
+    """One term-range shard of the merge-emitted warm cache: bulk-
+    decode the range's hot terms (warm_terms_bulk — the exact same
+    kernel serving would run, so the persisted representation is
+    bit-identical to a serve-time decode) and save keys/contribs/meta
+    under warmcache/<sha>/shard=NNNN/. Runs right after the merge
+    wrote this range's shard file, so the read is page-cache-hot."""
+    import json
+    import os
+    import uuid as _uuid
+
+    r = IndexReader(index_dir)
+    r._dense = dense
+    if dl_space is not None:
+        r._chunk_dl_cache = dl_space
+    totals: dict[int, int] = {}
+    for seg in r._all_term_sources():
+        sel = (seg.terms >= lo) & (seg.terms < hi)
+        for t, n in zip(seg.terms[sel].tolist(), seg.ns[sel].tolist()):
+            totals[t] = totals.get(t, 0) + int(n)
+    todo = sorted(t for t, n in totals.items() if n >= min_entries)
+    out = r.warm_terms_bulk(todo, maps=maps) if todo else {}
+    terms = sorted(out)
+    offs = [0]
+    for t in terms:
+        offs.append(offs[-1] + int(out[t][0].size))
+    keys = (
+        np.concatenate([out[t][0] for t in terms])
+        if terms
+        else np.empty(0, np.int64)
+    )
+    contribs = (
+        np.concatenate([out[t][1] for t in terms])
+        if terms
+        else np.empty(0, np.float64)
+    )
+    dd = os.path.join(index_dir, "warmcache", sha, f"shard={shard:04d}")
+    os.makedirs(dd, exist_ok=True)
+    tag = _uuid.uuid4().hex[:8]
+    for name, arr in (("keys", keys), ("contribs", contribs)):
+        tmp = os.path.join(dd, f".{name}.{tag}.tmp.npy")
+        np.save(tmp, arr)
+        os.replace(tmp, os.path.join(dd, f"{name}.npy"))
+    meta = {
+        "terms": terms,
+        "offsets": offs,
+        "lo": int(lo),
+        "hi": int(hi),
+        "manifest_sha": sha,
+    }
+    tmp = os.path.join(dd, f".meta.{tag}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(dd, "meta.json"))
+    return len(terms)
+
+
+def emit_warm_cache(index_dir: str, min_entries: int = 10_000) -> int:
+    """Post-merge distributed warm-cache build: one task per merged
+    term-range shard persists its range's warm representation, making
+    the warm cache an INDEX ARTIFACT instead of a serve-time cost —
+    cold serving readiness becomes mmap time (_load_warmcache), and a
+    term-range serving pool's actors each map only the shard files of
+    their range. On a multi-node cluster each task lands wherever its
+    shard file is (shared storage), so emission scales with the merge
+    instead of serializing on one serving host's memory bus.
+
+    No-op (returns 0) without a merged index or dense space — the
+    10^12-doc regime keeps the decode-at-serve MaxScore path."""
+    import json
+    import os
+    import shutil
+
+    import ray as _ray
+
+    from .build import _pkg_root
+
+    r = IndexReader(index_dir)
+    merged = r.manifest.get("merged")
+    if not merged or r._dense_space() is None:
+        return 0
+    sha = r._manifest_sha()
+    d = os.path.join(index_dir, "warmcache", sha)
+    if os.path.exists(os.path.join(d, "sharded.json")):
+        return -1  # this generation's cache already exists
+    try:
+        dl_space = r._chunk_dl_space()
+    except KeyError:
+        dl_space = None  # old in-stream-dl generation
+    maps = r._warm_maps()
+    shared_ref = _ray.put((r._dense, dl_space, maps))
+    pkg_root = _pkg_root()
+    bounds = merged["bounds"]
+    # per-host decode streams are bandwidth-bound, not core-bound
+    # (MICROFTS_WARM_TASKS's measured rationale): cap in-flight tasks
+    # by giving each 1/cap of the host's cores
+    cap = int(os.environ.get("MICROFTS_EMIT_TASKS", "0"))
+    ncpu = 1.0
+    if cap > 0:
+        avail = int(_ray.cluster_resources().get("CPU", cap))
+        ncpu = max(1.0, avail / cap)
+
+    @_ray.remote(num_cpus=ncpu)
+    def task(shard: int, lo: int, hi: int) -> int:
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from microfts_ray.pipelines.query import emit_warm_shard as ews
+
+        dense, dls, mps = _ray.get(shared_ref)
+        return ews(index_dir, sha, shard, lo, hi, min_entries, dense, dls, mps)
+
+    futs = [
+        task.remote(s, bounds[s], bounds[s + 1])
+        for s in range(merged["n_shards"])
+    ]
+    n_terms = sum(_ray.get(futs))
+    os.makedirs(d, exist_ok=True)
+    marker = {
+        "manifest_sha": sha,
+        "n_shards": merged["n_shards"],
+        "min_entries": min_entries,
+        "n_terms": n_terms,
+    }
+    tmp = os.path.join(d, ".sharded.tmp")
+    with open(tmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(tmp, os.path.join(d, "sharded.json"))
+    # best-effort sweep of older generations' caches (inodes stay
+    # alive for anyone still mmapping them)
+    parent = os.path.dirname(d)
+    for name in os.listdir(parent):
+        p = os.path.join(parent, name)
+        if p != d and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+    return n_terms
 
 
 def _span(sorted_terms: np.ndarray, term: int) -> tuple[int, int]:

@@ -113,21 +113,25 @@ def orders_per_nation(
 
     cust = pq.read_table(customer_path, columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
-    n_name = dict(
-        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
-    )
-    cust_nation = {
-        ck: n_name[nk]
-        for ck, nk in zip(
-            cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()
-        )
-    }
-    lookup_ref = ray.put(cust_nation)
+    # sorted-key arrays instead of Python dicts: the per-batch lookup
+    # is two numpy searchsorted gathers + one Arrow take, no per-row
+    # Python (and the broadcast payload is flat buffers, not a dict)
+    c_key = cust["c_custkey"].to_numpy()
+    c_order = np.argsort(c_key, kind="stable")
+    c_key = c_key[c_order]
+    c_nat = cust["c_nationkey"].to_numpy()[c_order]
+    n_key = nation["n_nationkey"].to_numpy()
+    n_order = np.argsort(n_key, kind="stable")
+    n_key = n_key[n_order]
+    n_names = nation["n_name"].combine_chunks().take(pa.array(n_order))
+    lookup_ref = ray.put((c_key, c_nat, n_key, n_names))
 
     def attach(b: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = [lookup[ck] for ck in b["o_custkey"].to_pylist()]
-        return pa.table({"n_name": pa.array(names, pa.string())})
+        c_key_s, c_nat_s, n_key_s, names_s = ray.get(lookup_ref)
+        ck = b["o_custkey"].to_numpy()
+        nk = c_nat_s[np.searchsorted(c_key_s, ck)]
+        names = names_s.take(pa.array(np.searchsorted(n_key_s, nk)))
+        return pa.table({"n_name": names})
 
     agg = (
         orders.map_batches(attach, batch_format="pyarrow")

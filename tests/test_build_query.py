@@ -395,6 +395,60 @@ def test_warmcache_roundtrip_and_invalidation(corpus_dir, tmp_path_factory, orac
     assert not r3._load_warmcache()
 
 
+def test_merge_emitted_warm_cache(corpus_dir, tmp_path_factory, oracle):
+    """emit_warm_cache after a merge persists a SHARDED warm cache as
+    an index artifact: a fresh reader's prewarm() mmaps it into a
+    representation BIT-IDENTICAL to the decode path, a term-range
+    prewarm loads only its range, queries stay oracle-identical, and
+    a reader asking for deeper warming than emitted falls back to
+    decode instead of trusting the shallow cache."""
+    import glob
+    import os
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("ewc"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    from microfts_ray.pipelines.merge import merge_index
+    from microfts_ray.pipelines.query import emit_warm_cache
+
+    merge_index(idx, n_shards=4)
+    n = emit_warm_cache(idx, min_entries=50)
+    assert n > 0
+    assert glob.glob(os.path.join(idx, "warmcache", "*", "sharded.json"))
+    assert glob.glob(os.path.join(idx, "warmcache", "*", "shard=*", "meta.json"))
+    # reference representation: a reader forced down the decode path
+    r_ref = IndexReader(idx)
+    r_ref._prewarm_build(min_entries=50, parallel=False, persist=False)
+    # mmap-loaded reader
+    r2 = IndexReader(idx)
+    assert r2.prewarm(min_entries=50) > 0
+    assert set(r2._sorted_kc) == set(r_ref._sorted_kc)
+    for t, (k, c) in r_ref._sorted_kc.items():
+        k2, c2 = r2._sorted_kc[t]
+        assert np.array_equal(np.asarray(k2), k)
+        assert np.array_equal(np.asarray(c2), c)  # float-bit-identical
+    for q in ["def", "import mod_1"]:
+        got = r2.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ]
+    # term-range load: only in-range terms, all from the cache
+    bounds = r2.manifest["merged"]["bounds"]
+    lo, hi = bounds[1], bounds[3]
+    r3 = IndexReader(idx)
+    r3.prewarm(min_entries=50, term_range=(lo, hi))
+    assert r3._sorted_kc and all(lo <= t < hi for t in r3._sorted_kc)
+    in_range = {t for t in r_ref._sorted_kc if lo <= t < hi}
+    assert set(r3._sorted_kc) == in_range
+    # deeper warming than emitted -> cache refused, decode fallback
+    r4 = IndexReader(idx)
+    assert not r4._load_warmcache(min_entries=1)
+    assert r4.prewarm(min_entries=1) > 0
+    assert len(r4._sorted_kc) >= len(r2._sorted_kc)
+
+
 def test_warm_terms_bulk_bit_identical(reader):
     """The bulk warm path (one decode_terms_table pass per source)
     must produce EXACTLY the per-term _sorted_keys representation —
