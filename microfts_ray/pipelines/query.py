@@ -1912,10 +1912,11 @@ class IndexReader:
         K = int(base[-1])
         acc = np.zeros(K, dtype=np.float32)
         any_term = False
+        vecs = []
         for g in grams:  # ascending
             vec = self._dense_vec(g)
             if vec is not None:
-                acc += vec
+                vecs.append(vec)
                 any_term = True
                 continue
             sk = self._sorted_keys(g)
@@ -1923,6 +1924,20 @@ class IndexReader:
                 continue
             acc[sk[0]] += sk[1].astype(np.float32)
             any_term = True
+        if len(vecs) == 1:
+            acc += vecs[0]
+        elif vecs:
+            # fused chunked sum: per 1 MB slice the accumulator stays
+            # cache-resident across all terms' adds, so the traffic is
+            # one read per vector + one write, not a full acc
+            # read+write per term (pairwise `acc += vec` costs ~3x on
+            # this bandwidth-bound host). Candidate selection only —
+            # the f32 slack bound is operation-count-based, unchanged.
+            step = 1 << 18
+            for s in range(0, K, step):
+                a = acc[s : s + step]
+                for vec in vecs:
+                    a += vec[s : s + step]
         if not any_term:
             return None, doc_ids, base
         return acc, doc_ids, base
