@@ -187,6 +187,11 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("merge", help="merge segments into term-range shards")
     sp.add_argument("db")
     sp.add_argument("--shards", type=int, default=8)
+    sp.add_argument(
+        "--warm",
+        action="store_true",
+        help="emit the serving warm cache as an index artifact",
+    )
 
     sp = sub.add_parser("chunk", help="add a custom-gram chunk")
     sp.add_argument("db")
@@ -329,7 +334,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "merge":
         from .pipelines.merge import merge_index
 
-        merge_index(args.db, n_shards=args.shards)
+        merge_index(args.db, n_shards=args.shards, emit_warm=args.warm)
         return 0
 
     from .pipelines.query import IndexReader

@@ -2660,6 +2660,19 @@ def emit_warm_shard(
     import os
     import uuid as _uuid
 
+    dd = os.path.join(index_dir, "warmcache", sha, f"shard={shard:04d}")
+    meta_p = os.path.join(dd, "meta.json")
+    if os.path.exists(meta_p):
+        try:  # per-shard resume: a crashed emission re-runs only the
+            with open(meta_p) as f:  # shards it didn't finish — but a
+                meta = json.load(f)  # shard emitted SHALLOWER than the
+            if (  # current request must be redone, or the finished
+                meta.get("manifest_sha") == sha  # cache would claim
+                and meta.get("min_entries", 1 << 62) <= min_entries
+            ):  # coverage its skipped shards don't have
+                return len(meta["terms"])
+        except (OSError, json.JSONDecodeError):
+            pass
     r = IndexReader(index_dir)
     r._dense = dense
     if dl_space is not None:
@@ -2685,7 +2698,6 @@ def emit_warm_shard(
         if terms
         else np.empty(0, np.float64)
     )
-    dd = os.path.join(index_dir, "warmcache", sha, f"shard={shard:04d}")
     os.makedirs(dd, exist_ok=True)
     tag = _uuid.uuid4().hex[:8]
     for name, arr in (("keys", keys), ("contribs", contribs)):
@@ -2698,6 +2710,7 @@ def emit_warm_shard(
         "lo": int(lo),
         "hi": int(hi),
         "manifest_sha": sha,
+        "min_entries": int(min_entries),
     }
     tmp = os.path.join(dd, f".meta.{tag}.tmp")
     with open(tmp, "w") as f:
