@@ -2756,9 +2756,14 @@ def emit_warm_cache(index_dir: str, min_entries: int = 10_000) -> int:
     pkg_root = _pkg_root()
     bounds = merged["bounds"]
     # per-host decode streams are bandwidth-bound, not core-bound
-    # (MICROFTS_WARM_TASKS's measured rationale): cap in-flight tasks
-    # by giving each 1/cap of the host's cores
-    cap = int(os.environ.get("MICROFTS_EMIT_TASKS", "0"))
+    # (MICROFTS_WARM_TASKS's measured rationale — in the emit-after-
+    # merge page-hot flow, uncapped 32-way fan-out measured 29-38 s
+    # vs 15-19 s at cap 6 on this box): cap in-flight tasks by
+    # giving each 1/cap of the cluster's cores.
+    # The cap is cluster-wide; multi-node deployments with per-host
+    # buses should set MICROFTS_EMIT_TASKS ≈ 6 × n_hosts, or 0 to
+    # run every shard concurrently.
+    cap = int(os.environ.get("MICROFTS_EMIT_TASKS", "6"))
     ncpu = 1.0
     if cap > 0:
         avail = int(_ray.cluster_resources().get("CPU", cap))
