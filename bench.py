@@ -67,8 +67,13 @@ def _ensure_corpus() -> list[str]:
     return sorted(glob.glob(f"{CORPUS_DIR}/*.parquet"))
 
 
-def timed_build() -> dict:
-    """One fresh index build over the bench corpus; returns metrics."""
+def timed_build(emit_warm: bool = False) -> dict:
+    """One fresh index build over the bench corpus; returns metrics.
+    With emit_warm, the merge also emits the serving warm cache
+    INLINE (each shard task decodes its own in-memory table — see
+    merge_index), so merge_sec then measures time-to-servable-index.
+    The --scaling legs keep emit_warm=False: their job definition
+    must stay identical to the recorded runs."""
     ray = _init_ray()
     import ray.data
 
@@ -89,7 +94,7 @@ def timed_build() -> dict:
     # fixed shard count: the job must be identical at every
     # parallelism level for the scaling comparison to be fair
     merge_index(index_dir, n_shards=int(os.environ.get("INDEX_SHARDS", "32")),
-                concurrency=NUM_CPUS)
+                concurrency=NUM_CPUS, emit_warm=emit_warm)
     t2 = time.perf_counter()
     return {
         "index_dir": index_dir,
@@ -108,18 +113,17 @@ def run_suite() -> dict:
 
     queries: dict[str, float] = {}
 
-    b = timed_build()
+    # the index pipeline emits its serving artifact inline: each merge
+    # shard task also persists its range's warm cache from the blob
+    # table it holds in memory, so `index_merge_warm` is the full
+    # time-to-servable-index (merge + warm emission, overlapped) and
+    # no stage re-reads the merge output from storage
+    b = timed_build(emit_warm=True)
     queries["index_build"] = round(b["build_segments_sec"], 3)
-    queries["index_merge"] = round(b["merge_sec"], 3)
+    queries["index_merge_warm"] = round(b["merge_sec"], 3)
     files_per_sec = b["files_per_sec"]
 
-    from microfts_ray.pipelines.query import IndexReader, emit_warm_cache
-
-    # the index pipeline emits its serving artifact: per-shard warm
-    # cache files, written while the merge output is page-cache-hot
-    t0 = time.perf_counter()
-    emit_warm_cache(b["index_dir"])
-    queries["warm_emit"] = round(time.perf_counter() - t0, 3)
+    from microfts_ray.pipelines.query import IndexReader
 
     reader = IndexReader(b["index_dir"])
     t0 = time.perf_counter()

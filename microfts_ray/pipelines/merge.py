@@ -206,8 +206,39 @@ def write_shard_table(
     return entry
 
 
+def _emit_staged_warm(
+    index_dir: str, warm_ctx, tbl, dirname: str, lo: int, hi: int
+) -> None:
+    """Stage one warm-cache dir from an IN-MEMORY posting table (see
+    merge_index: merge-inline warm emission). The table is the merge
+    task's own blob rows, so no storage read happens here; output is
+    bit-identical to the file-reading emit path because per-term keys
+    are unique and the final stable sort canonicalizes order."""
+    import ray as _ray
+
+    from .query import IndexReader, _write_warm_dir
+
+    shared_ref, staging, wmin = warm_ctx
+    dense, dls, mps = _ray.get(shared_ref)
+    out = {}
+    if tbl.num_rows:
+        terms = tbl["term"].to_numpy()
+        ns = tbl["n"].to_numpy()
+        uniq, inv = np.unique(terms, return_inverse=True)
+        sums = np.bincount(inv, weights=ns.astype(np.float64)).astype(np.int64)
+        todo = uniq[sums >= wmin]
+        if todo.size:
+            r = IndexReader(index_dir)
+            r._dense = dense
+            if dls is not None:
+                r._chunk_dl_cache = dls
+            out = r.warm_from_table(tbl, todo, mps)
+    _write_warm_dir(os.path.join(staging, dirname), out, lo, hi, None, wmin)
+
+
 def write_hot_term_shards(
-    index_dir: str, term: int, terms_paths: list[str], n_sub: int
+    index_dir: str, term: int, terms_paths: list[str], n_sub: int,
+    warm_ctx=None,
 ) -> list[dict]:
     """Doc-range split of one ultra-hot term: its rows (doc-disjoint
     per-partition runs) are chopped into n_sub sub-shards of ~equal
@@ -236,6 +267,12 @@ def write_hot_term_shards(
         if keep.any():
             tables.append(tbl.filter(keep))
     rows = pa.concat_tables(tables) if tables else TERMS_SCHEMA.empty_table()
+    if warm_ctx is not None:
+        # the hot term's full posting set is in memory right here:
+        # stage its warm dir (shard=hot-<term>) without a re-read
+        _emit_staged_warm(
+            index_dir, warm_ctx, rows, f"shard=hot-{term:05d}", term, term + 1
+        )
     ns = rows["n"].to_numpy().astype(np.int64) if rows.num_rows else np.empty(0, np.int64)
     total = int(ns.sum())
     n_sub = max(1, min(n_sub, max(1, rows.num_rows)))
@@ -314,6 +351,7 @@ def merge_index(
     level1_threshold: int = 512,
     fan_in: int = 32,
     emit_warm: bool = False,
+    warm_min_entries: int = 10_000,
 ) -> dict:
     """Merge all build segments into n_shards mass-balanced term-range
     shards; records bounds in the manifest (idempotent, per-shard
@@ -372,6 +410,36 @@ def merge_index(
         int(t): max(2, int(round(counts[t] / target_mass))) for t in hot_terms
     }
     hot_arr = hot_terms.astype(np.int64)
+    # merge-inline warm emission: compute each shard's warm
+    # representation INSIDE its merge task, from the blob table the
+    # task already holds in memory — the emitted warm cache then never
+    # re-reads the merge output from storage (this box's page-cache
+    # reclaimer can evict a just-written shard before a post-merge
+    # emission pass re-reads it, turning a ~20 s decode into a
+    # minute-plus disk crawl; at cluster scale it removes a full
+    # second read of the merge output). Dirs are STAGED under a temp
+    # name — the final manifest hash isn't known until commit — then
+    # moved into warmcache/<sha>/ at finalize; emit_warm_cache fills
+    # any dirs missed by checkpoint-resumed tasks (file-reading
+    # fallback) and writes the completion marker.
+    warm_ctx = None
+    warm_shared_vals = None
+    if emit_warm and mode == "stack" and dead is None:
+        from .query import IndexReader as _IR
+
+        _r0 = _IR(index_dir)
+        if _r0._dense_space() is not None:
+            try:
+                _dls = _r0._chunk_dl_space()
+            except KeyError:
+                _dls = None
+            warm_shared_vals = (_r0._dense, _dls, _r0._warm_maps())
+            staging = os.path.join(
+                index_dir, "warmcache", f".staging-{uuid.uuid4().hex[:8]}"
+            )
+            warm_ctx = (
+                ray.put(warm_shared_vals), staging, int(warm_min_entries)
+            )
 
     def run_shard(batch: dict) -> dict:
         # direct-read merge: each shard task reads only the row groups
@@ -390,6 +458,7 @@ def merge_index(
         import pyarrow.parquet as _pq
 
         from microfts_ray.pipelines.merge import (
+            _emit_staged_warm as esw,
             make_dict_resolver as mdr,
             make_dl_space as mds,
             write_shard_table as wst,
@@ -441,6 +510,12 @@ def merge_index(
                 dl_space=dl_space,
             )
             out.append(e["stats"]["n_postings"])
+            if warm_ctx is not None:
+                esw(
+                    index_dir, warm_ctx,
+                    tbl if tbl is not None else _TS.empty_table(),
+                    f"shard={shard:04d}", lo, hi,
+                )
         return {"shard": batch["shard"], "n_postings": np.array(out, dtype=np.int64)}
 
     ds = ray.data.from_items(
@@ -448,6 +523,16 @@ def merge_index(
         override_num_blocks=n_shards,
     )
     kwargs = {"concurrency": concurrency} if concurrency else {}
+    if warm_ctx is not None:
+        # the inline warm decode is memory-bandwidth-bound, not
+        # core-bound (MICROFTS_WARM_TASKS's measured rationale): cap
+        # in-flight shard tasks so the decode streams don't saturate
+        # the per-host bus
+        cap = int(os.environ.get("MICROFTS_EMIT_TASKS", "6"))
+        if cap > 0:
+            kwargs["concurrency"] = min(
+                kwargs.get("concurrency") or n_shards, cap
+            )
     ds.map_batches(run_shard, batch_size=1, num_cpus=1, **kwargs).materialize()
     hot_entries: list[dict] = []
     if hot_subs_of:
@@ -461,7 +546,14 @@ def merge_index(
 
             done = []
             for t, n_sub in zip(batch["term"], batch["n_sub"]):
-                done.append(len(whs(index_dir, int(t), terms_paths, int(n_sub))))
+                done.append(
+                    len(
+                        whs(
+                            index_dir, int(t), terms_paths, int(n_sub),
+                            warm_ctx=warm_ctx,
+                        )
+                    )
+                )
             return {"term": batch["term"], "n_subs": np.array(done, np.int64)}
 
         hds = ray.data.from_items(
@@ -492,12 +584,40 @@ def merge_index(
     }
     mf.commit_manifest(index_dir, manifest)
     if emit_warm and mode == "stack" and dead is None:
-        # emit the serving warm cache as an index artifact while the
-        # just-written shard files are page-cache-hot: one task per
-        # shard persists its range's (sorted keys, contribs) under
-        # warmcache/<sha>/shard=K/, and serving readers mmap instead
-        # of decoding (query.emit_warm_cache)
-        from .query import emit_warm_cache
+        # finalize the merge-inline emission: stamp the committed
+        # generation's manifest hash into the staged dirs and move
+        # them into place, then emit_warm_cache fills any dirs missed
+        # by checkpoint-resumed tasks (file-reading fallback) and
+        # writes the completion marker + sweeps older generations
+        from .query import IndexReader as _IR2, emit_warm_cache
 
-        emit_warm_cache(index_dir)
+        if warm_ctx is not None:
+            import json as _json
+            import shutil as _shutil
+
+            _, staging, _ = warm_ctx
+            sha = _IR2(index_dir)._manifest_sha()
+            target = os.path.join(index_dir, "warmcache", sha)
+            os.makedirs(target, exist_ok=True)
+            if os.path.isdir(staging):
+                for name in sorted(os.listdir(staging)):
+                    src = os.path.join(staging, name)
+                    dst = os.path.join(target, name)
+                    mp = os.path.join(src, "meta.json")
+                    if not os.path.isdir(src) or os.path.exists(dst):
+                        continue
+                    try:
+                        with open(mp) as f:
+                            m = _json.load(f)
+                        m["manifest_sha"] = sha
+                        m["staged"] = True  # provenance: inline, not fallback
+                        with open(mp, "w") as f:
+                            _json.dump(m, f)
+                        os.replace(src, dst)
+                    except (OSError, ValueError):
+                        continue  # incomplete staged dir: fallback re-emits
+                _shutil.rmtree(staging, ignore_errors=True)
+        emit_warm_cache(
+            index_dir, min_entries=warm_min_entries, shared=warm_shared_vals
+        )
     return manifest

@@ -553,6 +553,12 @@ class IndexReader:
                 return False  # caller wants DEEPER warming than emitted
         except OSError:
             return False
+        dirs = sh.get("dirs")
+        if dirs is not None:
+            # marker-listed dirs (range shards + hot-term dirs): each
+            # must exist and load; hot dirs carry lo=t, hi=t+1 so the
+            # term_range pruning applies to them unchanged
+            return all(load_one(os.path.join(d, name)) for name in dirs)
         import glob as _glob
 
         shard_dirs = sorted(_glob.glob(os.path.join(d, "shard=*")))
@@ -619,14 +625,54 @@ class IndexReader:
                                          dtype=np.int64))
         if terms_arr.size == 0:
             return {}
-        doc_sorted, base = self._dense
-        # GLOBAL concatenated rank maps: rank -> dense key base and
-        # rank -> dl-span slot for EVERY dictionary, so each decode
-        # slice translates with two flat gathers — no per-posting
-        # searchsorted over the doc universe, no per-dict loop (a
-        # slice interleaves hundreds of source partitions' rows, so
-        # per-dict grouping degenerated to 1-2 rows per group)
-        keymaps, dlmaps = maps if maps is not None else self._warm_maps()
+        gmaps = self._warm_gmaps(maps if maps is not None else self._warm_maps())
+        parts: dict[int, list] = {}
+        for seg in self._all_term_sources():
+            # skip sources with no hot term (term directory is loaded)
+            if not np.isin(terms_arr, seg.terms).any():
+                continue
+            tbl = seg._pf.read(
+                columns=["term", "n", "dict", "doc_blob", "chunk_blob",
+                         "tf_blob", "dl_blob"]
+                if "dict" in seg._pf.schema_arrow.names
+                else ["term", "n", "doc_blob", "chunk_blob", "tf_blob", "dl_blob"]
+            )
+            self._warm_table_slices(tbl, terms_arr, parts, gmaps)
+        return self._warm_finalize(parts)
+
+    def warm_from_table(self, tbl, terms, maps) -> dict:
+        """Warm representation straight from an IN-MEMORY posting table
+        (e.g. the merge shard task's blob rows, before/regardless of
+        what the page cache keeps of the written file). Same decode +
+        translate + contrib kernels as warm_terms_bulk; bit-identical
+        output because keys are unique per term, so the final stable
+        sort yields one canonical order whatever the row order was."""
+        if self._dense_space() is None:
+            return {}
+        terms_arr = np.unique(
+            np.asarray(sorted(set(int(t) for t in terms)), dtype=np.int64)
+        )
+        if terms_arr.size == 0 or tbl.num_rows == 0:
+            return {}
+        cols = [
+            c
+            for c in ("term", "n", "dict", "doc_blob", "chunk_blob",
+                      "tf_blob", "dl_blob")
+            if c in tbl.column_names
+        ]
+        gmaps = self._warm_gmaps(maps)
+        parts: dict[int, list] = {}
+        self._warm_table_slices(tbl.select(cols), terms_arr, parts, gmaps)
+        return self._warm_finalize(parts)
+
+    def _warm_gmaps(self, maps: tuple[dict, dict]):
+        """GLOBAL concatenated rank maps: rank -> dense key base and
+        rank -> dl-span slot for EVERY dictionary, so each decode
+        slice translates with two flat gathers — no per-posting
+        searchsorted over the doc universe, no per-dict loop (a
+        slice interleaves hundreds of source partitions' rows, so
+        per-dict grouping degenerated to 1-2 rows per group)."""
+        keymaps, dlmaps = maps
         did_off: dict[str, int] = {}
         gk_parts, gs_parts, gp_parts = [], [], []
         off = 0
@@ -641,30 +687,22 @@ class IndexReader:
         g_key = np.concatenate(gk_parts) if gk_parts else np.empty(0, np.int64)
         g_dstart = np.concatenate(gs_parts) if gs_parts else None
         g_dspan = np.concatenate(gp_parts) if gp_parts else None
-        gmaps = (did_off, g_key, g_dstart, g_dspan)
+        return (did_off, g_key, g_dstart, g_dspan)
 
-        parts: dict[int, list] = {}
-        for seg in self._all_term_sources():
-            # skip sources with no hot term (term directory is loaded)
-            if not np.isin(terms_arr, seg.terms).any():
-                continue
-            tbl = seg._pf.read(
-                columns=["term", "n", "dict", "doc_blob", "chunk_blob",
-                         "tf_blob", "dl_blob"]
-                if "dict" in seg._pf.schema_arrow.names
-                else ["term", "n", "doc_blob", "chunk_blob", "tf_blob", "dl_blob"]
-            )
-            mask = np.isin(tbl["term"].to_numpy(), terms_arr)
-            if not mask.any():
-                continue
-            sub_all = tbl.filter(pa.array(mask))
-            # decode in ~512-row slices: the whole-shard decode's
-            # temporaries live in DRAM and this box's bus makes that
-            # 25x slower than cache-resident slices (measured 4.5s vs
-            # 0.16s per shard for identical output)
-            for s0 in range(0, sub_all.num_rows, 512):
-                sub = sub_all.slice(s0, 512)
-                self._warm_accumulate(sub, parts, gmaps)
+    def _warm_table_slices(self, tbl, terms_arr, parts, gmaps) -> None:
+        mask = np.isin(tbl["term"].to_numpy(), terms_arr)
+        if not mask.any():
+            return
+        sub_all = tbl.filter(pa.array(mask))
+        # decode in ~512-row slices: the whole-shard decode's
+        # temporaries live in DRAM and this box's bus makes that
+        # 25x slower than cache-resident slices (measured 4.5s vs
+        # 0.16s per shard for identical output)
+        for s0 in range(0, sub_all.num_rows, 512):
+            sub = sub_all.slice(s0, 512)
+            self._warm_accumulate(sub, parts, gmaps)
+
+    def _warm_finalize(self, parts: dict) -> dict:
         out = {}
         for t, ps in parts.items():
             if len(ps) == 1:
@@ -2639,51 +2677,46 @@ class ShardedQueryService:
         return self._route_whole("fuzzy", grams, infos, args, kw)
 
 
-def emit_warm_shard(
-    index_dir: str,
-    sha: str,
-    shard: int,
+def _warm_dir_done(dd: str, sha: str | None, min_entries: int) -> int:
+    """Per-dir resume check: a finished warm dir of this generation at
+    AT-LEAST-this-depth counts as done (a dir emitted SHALLOWER than
+    the current request must be redone, or the finished cache would
+    claim coverage its skipped dirs don't have). Returns the dir's
+    term count, or -1 when it must be (re)emitted."""
+    import json
+    import os
+
+    meta_p = os.path.join(dd, "meta.json")
+    if not os.path.exists(meta_p):
+        return -1
+    try:
+        with open(meta_p) as f:
+            meta = json.load(f)
+        if (sha is None or meta.get("manifest_sha") == sha) and meta.get(
+            "min_entries", 1 << 62
+        ) <= min_entries:
+            return len(meta["terms"])
+    except (OSError, json.JSONDecodeError):
+        pass
+    return -1
+
+
+def _write_warm_dir(
+    dd: str,
+    out: dict,
     lo: int,
     hi: int,
+    sha: str | None,
     min_entries: int,
-    dense,
-    dl_space,
-    maps,
 ) -> int:
-    """One term-range shard of the merge-emitted warm cache: bulk-
-    decode the range's hot terms (warm_terms_bulk — the exact same
-    kernel serving would run, so the persisted representation is
-    bit-identical to a serve-time decode) and save keys/contribs/meta
-    under warmcache/<sha>/shard=NNNN/. Runs right after the merge
-    wrote this range's shard file, so the read is page-cache-hot."""
+    """Persist one warm dir: concatenated sorted keys + f64 contribs
+    with a per-term offset directory. sha=None marks a STAGED dir (the
+    final manifest hash isn't known yet); the merge driver stamps it
+    at finalize before moving the dir into warmcache/<sha>/."""
     import json
     import os
     import uuid as _uuid
 
-    dd = os.path.join(index_dir, "warmcache", sha, f"shard={shard:04d}")
-    meta_p = os.path.join(dd, "meta.json")
-    if os.path.exists(meta_p):
-        try:  # per-shard resume: a crashed emission re-runs only the
-            with open(meta_p) as f:  # shards it didn't finish — but a
-                meta = json.load(f)  # shard emitted SHALLOWER than the
-            if (  # current request must be redone, or the finished
-                meta.get("manifest_sha") == sha  # cache would claim
-                and meta.get("min_entries", 1 << 62) <= min_entries
-            ):  # coverage its skipped shards don't have
-                return len(meta["terms"])
-        except (OSError, json.JSONDecodeError):
-            pass
-    r = IndexReader(index_dir)
-    r._dense = dense
-    if dl_space is not None:
-        r._chunk_dl_cache = dl_space
-    totals: dict[int, int] = {}
-    for seg in r._all_term_sources():
-        sel = (seg.terms >= lo) & (seg.terms < hi)
-        for t, n in zip(seg.terms[sel].tolist(), seg.ns[sel].tolist()):
-            totals[t] = totals.get(t, 0) + int(n)
-    todo = sorted(t for t, n in totals.items() if n >= min_entries)
-    out = r.warm_terms_bulk(todo, maps=maps) if todo else {}
     terms = sorted(out)
     offs = [0]
     for t in terms:
@@ -2705,7 +2738,7 @@ def emit_warm_shard(
         np.save(tmp, arr)
         os.replace(tmp, os.path.join(dd, f"{name}.npy"))
     meta = {
-        "terms": terms,
+        "terms": [int(t) for t in terms],
         "offsets": offs,
         "lo": int(lo),
         "hi": int(hi),
@@ -2719,7 +2752,80 @@ def emit_warm_shard(
     return len(terms)
 
 
-def emit_warm_cache(index_dir: str, min_entries: int = 10_000) -> int:
+def emit_warm_shard(
+    index_dir: str,
+    sha: str,
+    shard: int,
+    lo: int,
+    hi: int,
+    min_entries: int,
+    dense,
+    dl_space,
+    maps,
+    hot_exclude=(),
+) -> int:
+    """One term-range shard of the merge-emitted warm cache: bulk-
+    decode the range's hot terms (warm_terms_bulk — the exact same
+    kernel serving would run, so the persisted representation is
+    bit-identical to a serve-time decode) and save keys/contribs/meta
+    under warmcache/<sha>/shard=NNNN/. Ultra-hot split terms are
+    excluded — they get their own shard=hot-* dirs (emit_warm_hot).
+    This is the file-reading FALLBACK path; the merge emits staged
+    warm dirs from its in-memory tables and only missing dirs land
+    here."""
+    import os
+
+    dd = os.path.join(index_dir, "warmcache", sha, f"shard={shard:04d}")
+    done = _warm_dir_done(dd, sha, min_entries)
+    if done >= 0:
+        return done
+    r = IndexReader(index_dir)
+    r._dense = dense
+    if dl_space is not None:
+        r._chunk_dl_cache = dl_space
+    hot = set(int(t) for t in hot_exclude)
+    totals: dict[int, int] = {}
+    for seg in r._all_term_sources():
+        sel = (seg.terms >= lo) & (seg.terms < hi)
+        for t, n in zip(seg.terms[sel].tolist(), seg.ns[sel].tolist()):
+            if t not in hot:
+                totals[t] = totals.get(t, 0) + int(n)
+    todo = sorted(t for t, n in totals.items() if n >= min_entries)
+    out = r.warm_terms_bulk(todo, maps=maps) if todo else {}
+    return _write_warm_dir(dd, out, lo, hi, sha, min_entries)
+
+
+def emit_warm_hot(
+    index_dir: str,
+    sha: str,
+    term: int,
+    min_entries: int,
+    dense,
+    dl_space,
+    maps,
+) -> int:
+    """One ultra-hot split term's warm dir (shard=hot-<term>): the
+    term left the term-range scheme at merge (doc-range sub-shards),
+    so its warm representation is emitted per term. File-reading
+    fallback for dirs the merge didn't stage in-memory."""
+    import os
+
+    dd = os.path.join(index_dir, "warmcache", sha, f"shard=hot-{int(term):05d}")
+    done = _warm_dir_done(dd, sha, min_entries)
+    if done >= 0:
+        return done
+    r = IndexReader(index_dir)
+    r._dense = dense
+    if dl_space is not None:
+        r._chunk_dl_cache = dl_space
+    out = r.warm_terms_bulk([int(term)], maps=maps)
+    out = {t: v for t, v in out.items() if v[0].size >= min_entries}
+    return _write_warm_dir(dd, out, int(term), int(term) + 1, sha, min_entries)
+
+
+def emit_warm_cache(
+    index_dir: str, min_entries: int = 10_000, shared=None
+) -> int:
     """Post-merge distributed warm-cache build: one task per merged
     term-range shard persists its range's warm representation, making
     the warm cache an INDEX ARTIFACT instead of a serve-time cost —
@@ -2747,14 +2853,16 @@ def emit_warm_cache(index_dir: str, min_entries: int = 10_000) -> int:
     d = os.path.join(index_dir, "warmcache", sha)
     if os.path.exists(os.path.join(d, "sharded.json")):
         return -1  # this generation's cache already exists
-    try:
-        dl_space = r._chunk_dl_space()
-    except KeyError:
-        dl_space = None  # old in-stream-dl generation
-    maps = r._warm_maps()
-    shared_ref = _ray.put((r._dense, dl_space, maps))
+    if shared is None:
+        try:
+            dl_space = r._chunk_dl_space()
+        except KeyError:
+            dl_space = None  # old in-stream-dl generation
+        shared = (r._dense, dl_space, r._warm_maps())
+    shared_ref = _ray.put(shared)
     pkg_root = _pkg_root()
     bounds = merged["bounds"]
+    hot_terms = sorted({int(e["term"]) for e in merged.get("hot", [])})
     # per-host decode streams are bandwidth-bound, not core-bound
     # (MICROFTS_WARM_TASKS's measured rationale — in the emit-after-
     # merge page-hot flow, uncapped 32-way fan-out measured 29-38 s
@@ -2778,12 +2886,26 @@ def emit_warm_cache(index_dir: str, min_entries: int = 10_000) -> int:
         from microfts_ray.pipelines.query import emit_warm_shard as ews
 
         dense, dls, mps = _ray.get(shared_ref)
-        return ews(index_dir, sha, shard, lo, hi, min_entries, dense, dls, mps)
+        return ews(
+            index_dir, sha, shard, lo, hi, min_entries, dense, dls, mps,
+            hot_exclude=hot_terms,
+        )
+
+    @_ray.remote(num_cpus=ncpu)
+    def hot_task(term: int) -> int:
+        import sys
+
+        if pkg_root not in sys.path:
+            sys.path.insert(0, pkg_root)
+        from microfts_ray.pipelines.query import emit_warm_hot as ewh
+
+        dense, dls, mps = _ray.get(shared_ref)
+        return ewh(index_dir, sha, term, min_entries, dense, dls, mps)
 
     futs = [
         task.remote(s, bounds[s], bounds[s + 1])
         for s in range(merged["n_shards"])
-    ]
+    ] + [hot_task.remote(t) for t in hot_terms]
     n_terms = sum(_ray.get(futs))
     os.makedirs(d, exist_ok=True)
     marker = {
@@ -2791,6 +2913,8 @@ def emit_warm_cache(index_dir: str, min_entries: int = 10_000) -> int:
         "n_shards": merged["n_shards"],
         "min_entries": min_entries,
         "n_terms": n_terms,
+        "dirs": [f"shard={s:04d}" for s in range(merged["n_shards"])]
+        + [f"shard=hot-{t:05d}" for t in hot_terms],
     }
     tmp = os.path.join(d, ".sharded.tmp")
     with open(tmp, "w") as f:

@@ -449,6 +449,120 @@ def test_merge_emitted_warm_cache(corpus_dir, tmp_path_factory, oracle):
     assert len(r4._sorted_kc) >= len(r2._sorted_kc)
 
 
+def test_merge_inline_warm_emission_bit_identical(
+    corpus_dir, tmp_path_factory, oracle
+):
+    """merge_index(emit_warm=True) stages each shard's warm dir from
+    the merge task's IN-MEMORY blob table (no re-read of the merge
+    output): every emitted dir must carry the staged provenance flag,
+    and the cache must be BYTE-identical to one emitted by the
+    file-reading fallback path (emit_warm_cache on a cold index)."""
+    import glob
+    import json
+    import os
+    import shutil as sh
+
+    from microfts_ray.pipelines.merge import merge_index
+    from microfts_ray.pipelines.query import emit_warm_cache
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("iwe"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    merge_index(idx, n_shards=4, emit_warm=True, warm_min_entries=50)
+    markers = glob.glob(os.path.join(idx, "warmcache", "*", "sharded.json"))
+    assert len(markers) == 1
+    gen_dir = os.path.dirname(markers[0])
+    with open(markers[0]) as f:
+        marker = json.load(f)
+    assert marker["n_terms"] > 0
+    for name in marker["dirs"]:
+        with open(os.path.join(gen_dir, name, "meta.json")) as f:
+            meta = json.load(f)
+        assert meta.get("staged") is True, f"{name} was fallback-emitted"
+    # file-reading fallback on the same index -> byte-identical cache
+    aside = os.path.join(idx, "warmcache_inline")
+    os.rename(os.path.join(idx, "warmcache"), aside)
+    n = emit_warm_cache(idx, min_entries=50)
+    assert n == marker["n_terms"]
+    for name in marker["dirs"]:
+        for fn in ("keys.npy", "contribs.npy"):
+            with open(os.path.join(gen_dir.replace("warmcache", "warmcache_inline"), name, fn), "rb") as f:
+                a = f.read()
+            with open(os.path.join(gen_dir, name, fn), "rb") as f:
+                b = f.read()
+            assert a == b, f"{name}/{fn} differs between inline and fallback"
+    sh.rmtree(aside)
+    # served results stay oracle-identical off the inline-emitted cache
+    r = IndexReader(idx)
+    assert r.prewarm(min_entries=50) > 0
+    for q in ["def", "import mod_1"]:
+        got = r.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ]
+
+
+def test_merge_inline_warm_emission_hot_term(tmp_path_factory):
+    """An ultra-hot split term's warm data is emitted into its own
+    shard=hot-<term> dir (staged from the hot split's in-memory rows)
+    and the loader serves the term from it."""
+    import glob
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from microfts_ray.pipelines.merge import merge_index
+
+    tmp = str(tmp_path_factory.mktemp("ihw"))
+    rows = []
+    for i in range(60):
+        lines = [
+            f"mix zzq u{i}x{j}" if j % 10 == 0 else "zzq" for j in range(30)
+        ]
+        rows.append(
+            {
+                "repo": "org/hot",
+                "path": f"src/f_{i}.py",
+                "commit": "d" * 40,
+                "lang": "py",
+                "content": "\n".join(lines) + "\n",
+            }
+        )
+    corpus = f"{tmp}/corpus.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), corpus, row_group_size=20)
+    idx = f"{tmp}/idx"
+    build_index([corpus], idx, target_rows_per_part=10)
+    manifest = merge_index(idx, n_shards=8, emit_warm=True, warm_min_entries=50)
+    hot_terms = sorted({e["term"] for e in manifest["merged"]["hot"]})
+    assert hot_terms
+    markers = glob.glob(os.path.join(idx, "warmcache", "*", "sharded.json"))
+    gen_dir = os.path.dirname(markers[0])
+    with open(markers[0]) as f:
+        marker = json.load(f)
+    hot_dirs = [n for n in marker["dirs"] if n.startswith("shard=hot-")]
+    assert hot_dirs == [f"shard=hot-{t:05d}" for t in hot_terms]
+    for name in hot_dirs:
+        with open(os.path.join(gen_dir, name, "meta.json")) as f:
+            meta = json.load(f)
+        assert meta.get("staged") is True
+        assert meta["terms"]  # hot terms are warm by definition
+    # hot terms load from their dirs; range shards exclude them
+    r = IndexReader(idx)
+    assert r.prewarm(min_entries=50) > 0
+    for t in hot_terms:
+        assert t in r._sorted_kc
+        # the warm representation matches a decode-path reader exactly
+        r_ref = IndexReader(idx)
+        assert r_ref._dense_space() is not None
+        sk = r_ref._sorted_keys(t)
+        assert np.array_equal(np.asarray(r._sorted_kc[t][0]), sk[0])
+        assert np.array_equal(np.asarray(r._sorted_kc[t][1]), sk[1])
+
+
 def test_warm_terms_bulk_bit_identical(reader):
     """The bulk warm path (one decode_terms_table pass per source)
     must produce EXACTLY the per-term _sorted_keys representation —
