@@ -69,11 +69,11 @@ def _ensure_corpus() -> list[str]:
 
 def timed_build(emit_warm: bool = False) -> dict:
     """One fresh index build over the bench corpus; returns metrics.
-    With emit_warm, the merge also emits the serving warm cache
-    INLINE (each shard task decodes its own in-memory table — see
-    merge_index), so merge_sec then measures time-to-servable-index.
-    The --scaling legs keep emit_warm=False: their job definition
-    must stay identical to the recorded runs."""
+    With emit_warm, the merge also stages the serving warm cache
+    inline (capped decode fan-out, zero storage re-read — see
+    merge_index(warm_inline=...)), so merge_sec then measures
+    time-to-servable. The --scaling legs and the suite's throughput
+    metrics keep emit_warm=False for comparability across rounds."""
     ray = _init_ray()
     import ray.data
 
@@ -94,7 +94,8 @@ def timed_build(emit_warm: bool = False) -> dict:
     # fixed shard count: the job must be identical at every
     # parallelism level for the scaling comparison to be fair
     merge_index(index_dir, n_shards=int(os.environ.get("INDEX_SHARDS", "32")),
-                concurrency=NUM_CPUS, emit_warm=emit_warm)
+                concurrency=NUM_CPUS, emit_warm=emit_warm,
+                warm_inline=emit_warm)
     t2 = time.perf_counter()
     return {
         "index_dir": index_dir,
@@ -113,15 +114,24 @@ def run_suite() -> dict:
 
     queries: dict[str, float] = {}
 
-    # the index pipeline emits its serving artifact inline: each merge
-    # shard task also persists its range's warm cache from the blob
-    # table it holds in memory, so `index_merge_warm` is the full
-    # time-to-servable-index (merge + warm emission, overlapped) and
-    # no stage re-reads the merge output from storage
+    # build #1 (plain): the round-comparable throughput metrics —
+    # index_build / index_merge / files_per_sec measure the same job
+    # as rounds 1-2 and the --scaling legs
+    b0 = timed_build()
+    queries["index_build"] = round(b0["build_segments_sec"], 3)
+    queries["index_merge"] = round(b0["merge_sec"], 3)
+    files_per_sec = b0["files_per_sec"]
+    shutil.rmtree(b0["index_dir"], ignore_errors=True)
+
+    # build #2 (emit_warm): the SERVABLE index. The warm cache is
+    # staged inline by the merge tasks from their in-memory tables
+    # (decode fan-out capped at the bus knee), so time-to-servable
+    # never re-reads the 2 GB merge output — this box's page-cache
+    # reclaimer can evict just-written shards within seconds, which
+    # made the old post-merge emission swing 22-111 s on ambient disk
+    # luck; the inline path holds a 34-50 s band with no disk mode
     b = timed_build(emit_warm=True)
-    queries["index_build"] = round(b["build_segments_sec"], 3)
-    queries["index_merge_warm"] = round(b["merge_sec"], 3)
-    files_per_sec = b["files_per_sec"]
+    queries["warm_build"] = round(b["build_sec"], 3)  # segments+merge+warm
 
     from microfts_ray.pipelines.query import IndexReader
 

@@ -192,6 +192,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="emit the serving warm cache as an index artifact",
     )
+    sp.add_argument(
+        "--warm-inline",
+        action="store_true",
+        help="stage warm dirs inside the merge tasks (per-node-bus "
+        "clusters; on a shared-bus host the capped two-phase default "
+        "is faster)",
+    )
 
     sp = sub.add_parser("chunk", help="add a custom-gram chunk")
     sp.add_argument("db")
@@ -334,7 +341,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "merge":
         from .pipelines.merge import merge_index
 
-        merge_index(args.db, n_shards=args.shards, emit_warm=args.warm)
+        merge_index(args.db, n_shards=args.shards, emit_warm=args.warm,
+                    warm_inline=args.warm_inline)
         return 0
 
     from .pipelines.query import IndexReader

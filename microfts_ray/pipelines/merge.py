@@ -206,6 +206,26 @@ def write_shard_table(
     return entry
 
 
+@ray.remote(num_cpus=0)
+class _WarmSemActor:
+    """Cluster-wide counting semaphore bounding concurrent inline
+    warm decodes (async actor: acquire parks on the event loop, so
+    waiting merge tasks cost no CPU slot here)."""
+
+    def __init__(self, slots: int):
+        import asyncio
+
+        self._sem = asyncio.Semaphore(max(1, int(slots)))
+
+    async def acquire(self) -> bool:
+        await self._sem.acquire()
+        return True
+
+    async def release(self) -> bool:
+        self._sem.release()
+        return True
+
+
 def _emit_staged_warm(
     index_dir: str, warm_ctx, tbl, dirname: str, lo: int, hi: int
 ) -> None:
@@ -213,13 +233,18 @@ def _emit_staged_warm(
     merge_index: merge-inline warm emission). The table is the merge
     task's own blob rows, so no storage read happens here; output is
     bit-identical to the file-reading emit path because per-term keys
-    are unique and the final stable sort canonicalizes order."""
+    are unique and the final stable sort canonicalizes order.
+
+    The DECODE (not the write) is gated by the shared semaphore actor:
+    merge tasks all hold their tables ready, but only `cap` decodes
+    run at once — on a shared-bus host the decode is bandwidth-bound
+    and >knee concurrent streams thrash (measured: 32-way inline
+    decode 65 s vs the same work serialized at the knee ~22 s)."""
     import ray as _ray
 
     from .query import IndexReader, _write_warm_dir
 
-    shared_ref, staging, wmin = warm_ctx
-    dense, dls, mps = _ray.get(shared_ref)
+    shared_ref, staging, wmin, sem = warm_ctx
     out = {}
     if tbl.num_rows:
         terms = tbl["term"].to_numpy()
@@ -228,11 +253,18 @@ def _emit_staged_warm(
         sums = np.bincount(inv, weights=ns.astype(np.float64)).astype(np.int64)
         todo = uniq[sums >= wmin]
         if todo.size:
-            r = IndexReader(index_dir)
-            r._dense = dense
-            if dls is not None:
-                r._chunk_dl_cache = dls
-            out = r.warm_from_table(tbl, todo, mps)
+            if sem is not None:
+                _ray.get(sem.acquire.remote())
+            try:
+                dense, dls, mps = _ray.get(shared_ref)
+                r = IndexReader(index_dir)
+                r._dense = dense
+                if dls is not None:
+                    r._chunk_dl_cache = dls
+                out = r.warm_from_table(tbl, todo, mps)
+            finally:
+                if sem is not None:
+                    sem.release.remote()
     _write_warm_dir(os.path.join(staging, dirname), out, lo, hi, None, wmin)
 
 
@@ -352,6 +384,7 @@ def merge_index(
     fan_in: int = 32,
     emit_warm: bool = False,
     warm_min_entries: int = 10_000,
+    warm_inline: bool = False,
 ) -> dict:
     """Merge all build segments into n_shards mass-balanced term-range
     shards; records bounds in the manifest (idempotent, per-shard
@@ -410,18 +443,22 @@ def merge_index(
         int(t): max(2, int(round(counts[t] / target_mass))) for t in hot_terms
     }
     hot_arr = hot_terms.astype(np.int64)
-    # merge-inline warm emission: compute each shard's warm
-    # representation INSIDE its merge task, from the blob table the
-    # task already holds in memory — the emitted warm cache then never
-    # re-reads the merge output from storage (this box's page-cache
-    # reclaimer can evict a just-written shard before a post-merge
-    # emission pass re-reads it, turning a ~20 s decode into a
-    # minute-plus disk crawl; at cluster scale it removes a full
-    # second read of the merge output). Dirs are STAGED under a temp
+    # warm_inline=True: compute each shard's warm representation
+    # INSIDE its merge task, from the blob table the task already
+    # holds in memory — the emitted warm cache then never re-reads the
+    # merge output from storage (at cluster scale this removes a full
+    # second read pass, and every node has its own memory bus so the
+    # full-width decode fan-out is free). Dirs are STAGED under a temp
     # name — the final manifest hash isn't known until commit — then
     # moved into warmcache/<sha>/ at finalize; emit_warm_cache fills
     # any dirs missed by checkpoint-resumed tasks (file-reading
     # fallback) and writes the completion marker.
+    # Default (warm_inline=False): emit AFTER the merge with
+    # emit_warm_cache's bandwidth-capped fan-out — on a shared-bus
+    # host, inline emission runs the decode at merge concurrency and
+    # bus contention past the knee loses 2.4x (measured cold-cache:
+    # inline 65 s vs two-phase 25 s for the same 200k-file index; the
+    # just-written shard files are still page-hot for the re-read).
     warm_ctx = None
     warm_shared_vals = None
     if emit_warm and mode == "stack" and dead is None:
@@ -434,12 +471,31 @@ def merge_index(
             except KeyError:
                 _dls = None
             warm_shared_vals = (_r0._dense, _dls, _r0._warm_maps())
-            staging = os.path.join(
-                index_dir, "warmcache", f".staging-{uuid.uuid4().hex[:8]}"
-            )
-            warm_ctx = (
-                ray.put(warm_shared_vals), staging, int(warm_min_entries)
-            )
+            # create the warm store HERE, on the driver: a named
+            # non-detached actor dies with its creator, and the
+            # emitting map tasks are ephemeral — driver ownership
+            # keeps the plasma-resident warm set alive all session
+            from .query import _warmstore as _ws
+
+            _ws(create=True)
+            if warm_inline:
+                staging = os.path.join(
+                    index_dir, "warmcache", f".staging-{uuid.uuid4().hex[:8]}"
+                )
+                # decode-concurrency semaphore: same knee as the
+                # two-phase emitter (MICROFTS_EMIT_TASKS; cluster-wide
+                # — multi-node deployments set ≈knee × n_hosts, or 0
+                # to uncap on per-node-bus hardware)
+                cap = int(os.environ.get("MICROFTS_EMIT_TASKS", "6"))
+                sem = (
+                    _WarmSemActor.options(num_cpus=0).remote(cap)
+                    if cap > 0
+                    else None
+                )
+                warm_ctx = (
+                    ray.put(warm_shared_vals), staging,
+                    int(warm_min_entries), sem,
+                )
 
     def run_shard(batch: dict) -> dict:
         # direct-read merge: each shard task reads only the row groups
@@ -589,15 +645,16 @@ def merge_index(
         # them into place, then emit_warm_cache fills any dirs missed
         # by checkpoint-resumed tasks (file-reading fallback) and
         # writes the completion marker + sweeps older generations
-        from .query import IndexReader as _IR2, emit_warm_cache
+        from .query import IndexReader as _IR2, _warmstore, emit_warm_cache
 
         if warm_ctx is not None:
             import json as _json
             import shutil as _shutil
 
-            _, staging, _ = warm_ctx
+            _, staging, _, _ = warm_ctx
             sha = _IR2(index_dir)._manifest_sha()
             target = os.path.join(index_dir, "warmcache", sha)
+            store = _warmstore()
             os.makedirs(target, exist_ok=True)
             if os.path.isdir(staging):
                 for name in sorted(os.listdir(staging)):
@@ -614,6 +671,13 @@ def merge_index(
                         with open(mp, "w") as f:
                             _json.dump(m, f)
                         os.replace(src, dst)
+                        if store is not None:
+                            try:
+                                # move the staged plasma entry with
+                                # the dir
+                                ray.get(store.rebind.remote(src, dst, sha))
+                            except Exception:
+                                pass
                     except (OSError, ValueError):
                         continue  # incomplete staged dir: fallback re-emits
                 _shutil.rmtree(staging, ignore_errors=True)

@@ -506,25 +506,14 @@ class IndexReader:
 
         d = self._warmcache_dir()
         sha = self._manifest_sha()
+        store = _warmstore()
 
-        def load_one(dd: str) -> bool:
-            meta_p = os.path.join(dd, "meta.json")
-            if not os.path.exists(meta_p):
-                return False
-            try:
-                with open(meta_p) as f:
-                    meta = json.load(f)
-                if meta.get("manifest_sha") != sha:
-                    return False  # stale cache from an older generation
-                if term_range is not None and "lo" in meta:
-                    if meta["hi"] <= term_range[0] or meta["lo"] >= term_range[1]:
-                        return True  # disjoint shard: nothing to load
-                keys = np.load(os.path.join(dd, "keys.npy"), mmap_mode="r")
-                contribs = np.load(
-                    os.path.join(dd, "contribs.npy"), mmap_mode="r"
-                )
-            except OSError:
-                return False  # cache dir swept by a newer generation
+        def fill(meta: dict, keys, contribs) -> bool:
+            if meta.get("manifest_sha") != sha:
+                return False  # stale cache from an older generation
+            if term_range is not None and "lo" in meta:
+                if meta["hi"] <= term_range[0] or meta["lo"] >= term_range[1]:
+                    return True  # disjoint shard: nothing to load
             offs = np.array(meta["offsets"], dtype=np.int64)
             for i, t in enumerate(meta["terms"]):
                 t = int(t)
@@ -536,6 +525,37 @@ class IndexReader:
                 self._sorted_kc[t] = (keys[sl], contribs[sl])
                 self._term_len_cache[t] = int(offs[i + 1] - offs[i])
             return True
+
+        def load_one(dd: str) -> bool:
+            # object-store fast path: same-session emissions parked the
+            # arrays in plasma (tmpfs) — zero-copy views, immune to the
+            # page-cache reclaimer, one physical copy per node
+            if store is not None:
+                import ray as _ray
+
+                try:
+                    ent = _ray.get(store.get_dir.remote(dd))
+                except Exception:
+                    ent = None
+                if ent is not None:
+                    meta, kref, cref = ent
+                    if meta.get("manifest_sha") == sha:
+                        return fill(meta, _ray.get(kref), _ray.get(cref))
+            meta_p = os.path.join(dd, "meta.json")
+            if not os.path.exists(meta_p):
+                return False
+            try:
+                with open(meta_p) as f:
+                    meta = json.load(f)
+                if meta.get("manifest_sha") != sha:
+                    return False
+                keys = np.load(os.path.join(dd, "keys.npy"), mmap_mode="r")
+                contribs = np.load(
+                    os.path.join(dd, "contribs.npy"), mmap_mode="r"
+                )
+            except OSError:
+                return False  # cache dir swept by a newer generation
+            return fill(meta, keys, contribs)
 
         if load_one(d):  # flat layout (prewarm(persist=True))
             return True
@@ -593,6 +613,14 @@ class IndexReader:
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(d, "meta.json"))
+        store = _warmstore(create=True)
+        if store is not None:
+            import ray as _ray
+
+            try:
+                _ray.get(store.put_dir.remote(d, meta, keys, contribs))
+            except Exception:
+                pass  # store gone: the files remain the source of truth
         # best-effort sweep of older generations' caches (inodes stay
         # alive for anyone still mmapping them)
         import shutil
@@ -2701,6 +2729,97 @@ def _warm_dir_done(dd: str, sha: str | None, min_entries: int) -> int:
     return -1
 
 
+class _WarmStoreImpl:
+    """Session-wide object-store holder for warm-cache arrays, keyed
+    by warm-dir path. Every entry's keys/contribs live as ACTOR-OWNED
+    plasma objects (tmpfs shared memory), so (a) all serving actors on
+    a node map ONE physical copy zero-copy, and (b) the hot set
+    survives page-cache eviction — on this box a proactive reclaimer
+    can evict just-emitted warm files within seconds, turning the
+    first query pass into a disk crawl; plasma pages cannot be
+    reclaimed without swap. Files remain the restart/cold-start path;
+    the store is the same-session fast path. At multi-node scale one
+    store per node holds that node's term-range shards."""
+
+    def __init__(self):
+        self._dirs: dict = {}
+
+    def put_dir(self, dirpath: str, meta: dict, keys, contribs) -> bool:
+        import ray as _ray
+
+        # re-put: the incoming arrays are views of CALLER-owned plasma
+        # objects that die with the emitting task; the store's copies
+        # are owned by this long-lived actor
+        self._dirs[dirpath] = (meta, _ray.put(keys), _ray.put(contribs))
+        return True
+
+    def get_dir(self, dirpath: str):
+        return self._dirs.get(dirpath)
+
+    def rebind(self, src: str, dst: str, sha: str) -> bool:
+        """Merge finalize: a STAGED dir (written before the manifest
+        hash existed) moved to its final path; stamp the sha."""
+        e = self._dirs.pop(src, None)
+        if e is None:
+            return False
+        meta = dict(e[0])
+        meta["manifest_sha"] = sha
+        self._dirs[dst] = (meta, e[1], e[2])
+        return True
+
+    def drop_prefix(self, prefix: str) -> int:
+        gone = [k for k in self._dirs if k.startswith(prefix)]
+        for k in gone:
+            del self._dirs[k]
+        return len(gone)
+
+
+_WARMSTORE_NAME = "microfts_warmstore"
+# per-process handle cache, keyed by job: a non-detached named actor
+# is REFCOUNTED — if no live handle remains anywhere it is killed, so
+# the creating process (normally the driver) must pin one here
+_WARMSTORE_CACHE: dict = {"job": None, "handle": None}
+
+
+def _warmstore(create: bool = False):
+    """Handle to the named warm store actor (None when ray is down or
+    MICROFTS_WARMSTORE=0). Writers pass create=True (get-or-create);
+    readers take the actor only if some writer made it."""
+    import os
+
+    try:
+        import ray as _ray
+    except ImportError:
+        return None
+    if (
+        os.environ.get("MICROFTS_WARMSTORE", "1") == "0"
+        or not _ray.is_initialized()
+    ):
+        return None
+    try:
+        job = _ray.get_runtime_context().get_job_id()
+    except Exception:
+        return None
+    if (
+        _WARMSTORE_CACHE["handle"] is not None
+        and _WARMSTORE_CACHE["job"] == job
+    ):
+        return _WARMSTORE_CACHE["handle"]
+    try:
+        if create:
+            h = (
+                _ray.remote(num_cpus=0)(_WarmStoreImpl)
+                .options(name=_WARMSTORE_NAME, get_if_exists=True)
+                .remote()
+            )
+        else:
+            h = _ray.get_actor(_WARMSTORE_NAME)
+    except Exception:
+        return None
+    _WARMSTORE_CACHE.update(job=job, handle=h)
+    return h
+
+
 def _write_warm_dir(
     dd: str,
     out: dict,
@@ -2749,6 +2868,17 @@ def _write_warm_dir(
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(dd, "meta.json"))
+    store = _warmstore(create=True)
+    if store is not None:
+        import ray as _ray
+
+        try:
+            # synchronous: the plasma copies of keys/contribs are owned
+            # by THIS task until the store re-puts them; returning
+            # before the actor ran could free them under it
+            _ray.get(store.put_dir.remote(dd, meta, keys, contribs))
+        except Exception:
+            pass  # store gone: the files remain the source of truth
     return len(terms)
 
 
@@ -2853,6 +2983,9 @@ def emit_warm_cache(
     d = os.path.join(index_dir, "warmcache", sha)
     if os.path.exists(os.path.join(d, "sharded.json")):
         return -1  # this generation's cache already exists
+    # driver-owned warm store (see _WarmStoreImpl): create before the
+    # ephemeral emit tasks so the plasma entries outlive them
+    _warmstore(create=True)
     if shared is None:
         try:
             dl_space = r._chunk_dl_space()

@@ -469,7 +469,8 @@ def test_merge_inline_warm_emission_bit_identical(
     tmp = str(tmp_path_factory.mktemp("iwe"))
     idx = f"{tmp}/idx"
     build_index(paths, idx, target_rows_per_part=30)
-    merge_index(idx, n_shards=4, emit_warm=True, warm_min_entries=50)
+    merge_index(idx, n_shards=4, emit_warm=True, warm_inline=True,
+                warm_min_entries=50)
     markers = glob.glob(os.path.join(idx, "warmcache", "*", "sharded.json"))
     assert len(markers) == 1
     gen_dir = os.path.dirname(markers[0])
@@ -536,7 +537,9 @@ def test_merge_inline_warm_emission_hot_term(tmp_path_factory):
     pq.write_table(pa.Table.from_pylist(rows), corpus, row_group_size=20)
     idx = f"{tmp}/idx"
     build_index([corpus], idx, target_rows_per_part=10)
-    manifest = merge_index(idx, n_shards=8, emit_warm=True, warm_min_entries=50)
+    manifest = merge_index(
+        idx, n_shards=8, emit_warm=True, warm_inline=True, warm_min_entries=50
+    )
     hot_terms = sorted({e["term"] for e in manifest["merged"]["hot"]})
     assert hot_terms
     markers = glob.glob(os.path.join(idx, "warmcache", "*", "sharded.json"))
@@ -898,3 +901,45 @@ def test_custom_chunk_multi_add_same_group(corpus_dir, tmp_path_factory):
     # doc-level BM25 dl lookup coalesces the delta rows too
     top = r.bm25_topk_docs("zq9zq9", k=5)
     assert any(t["doc_id"] == did for t in top) or top == []
+
+
+def test_warmstore_serves_without_files(corpus_dir, tmp_path_factory, oracle):
+    """The session warm STORE (plasma-resident warm cache) must serve
+    a same-session reader even when the emitted npy files are gone —
+    the defense against this box's page-cache reclaimer, and the
+    one-physical-copy-per-node serving design: delete every warm npy
+    after emission, prewarm still loads, scores stay oracle-identical.
+    A reader with the store disabled must fail over to (now missing)
+    files and fall back to decode — proving the store was the source."""
+    import glob
+    import os
+
+    from microfts_ray.pipelines.merge import merge_index
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("wstore"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    merge_index(idx, n_shards=4, emit_warm=True, warm_inline=True,
+                warm_min_entries=50)
+    npys = glob.glob(os.path.join(idx, "warmcache", "*", "shard=*", "*.npy"))
+    assert npys
+    for p in npys:
+        os.remove(p)
+    r = IndexReader(idx)
+    assert r._load_warmcache(min_entries=50)
+    assert r.prewarm(min_entries=50) > 0
+    for q in ["def", "import mod_1"]:
+        got = r.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ]
+    # without the store the deleted files are detected (no silent
+    # half-load): the sharded cache refuses and prewarm decodes
+    os.environ["MICROFTS_WARMSTORE"] = "0"
+    try:
+        r2 = IndexReader(idx)
+        assert not r2._load_warmcache(min_entries=50)
+    finally:
+        del os.environ["MICROFTS_WARMSTORE"]
