@@ -682,6 +682,10 @@ def merge_index(
                         continue  # incomplete staged dir: fallback re-emits
                 _shutil.rmtree(staging, ignore_errors=True)
         emit_warm_cache(
-            index_dir, min_entries=warm_min_entries, shared=warm_shared_vals
+            index_dir,
+            min_entries=warm_min_entries,
+            # inline mode already parked the tuple in plasma: pass the
+            # REF so the fallback pass doesn't put a second copy
+            shared=warm_ctx[0] if warm_ctx is not None else warm_shared_vals,
         )
     return manifest

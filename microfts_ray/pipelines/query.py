@@ -626,10 +626,13 @@ class IndexReader:
         import shutil
 
         parent = os.path.dirname(d)
+        store = _warmstore()
         for name in os.listdir(parent):
             p = os.path.join(parent, name)
             if p != d and os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
+                if store is not None:
+                    store.drop_prefix.remote(p)  # free the plasma copies
 
     def warm_terms_bulk(
         self, terms, maps: tuple[dict, dict] | None = None
@@ -2986,13 +2989,16 @@ def emit_warm_cache(
     # driver-owned warm store (see _WarmStoreImpl): create before the
     # ephemeral emit tasks so the plasma entries outlive them
     _warmstore(create=True)
-    if shared is None:
-        try:
-            dl_space = r._chunk_dl_space()
-        except KeyError:
-            dl_space = None  # old in-stream-dl generation
-        shared = (r._dense, dl_space, r._warm_maps())
-    shared_ref = _ray.put(shared)
+    if isinstance(shared, _ray.ObjectRef):
+        shared_ref = shared  # merge already parked the tuple in plasma
+    else:
+        if shared is None:
+            try:
+                dl_space = r._chunk_dl_space()
+            except KeyError:
+                dl_space = None  # old in-stream-dl generation
+            shared = (r._dense, dl_space, r._warm_maps())
+        shared_ref = _ray.put(shared)
     pkg_root = _pkg_root()
     bounds = merged["bounds"]
     hot_terms = sorted({int(e["term"]) for e in merged.get("hot", [])})
@@ -3056,10 +3062,13 @@ def emit_warm_cache(
     # best-effort sweep of older generations' caches (inodes stay
     # alive for anyone still mmapping them)
     parent = os.path.dirname(d)
+    store = _warmstore()
     for name in os.listdir(parent):
         p = os.path.join(parent, name)
         if p != d and os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
+            if store is not None:
+                store.drop_prefix.remote(p)  # free the plasma copies
     return n_terms
 
 
