@@ -47,6 +47,23 @@ BM25_QUERIES = [
 ]
 
 
+def _bus_probe() -> float:
+    """Single-stream memory-bandwidth probe (GB/s, ~0.2 s): this VM's
+    effective bandwidth swings >2x between ambient episodes (measured
+    7.6 vs 3.3 GB/s on identical code), and every bandwidth-bound
+    metric swings with it. Recording the probe with each bench run
+    lets an external reader normalize before comparing to bands."""
+    import numpy as np
+
+    a = np.random.rand(8 * 1024 * 1024)
+    b = np.random.rand(8 * 1024 * 1024)
+    c = np.empty_like(a)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.add(a, b, out=c)
+    return round(5 * 3 * 64 / 1024 / (time.perf_counter() - t0), 2)
+
+
 def _init_ray():
     import ray
 
@@ -195,6 +212,7 @@ def run_suite() -> dict:
         "build_files_per_sec": round(files_per_sec, 1),
         "bm25_p50_ms": round(bm25_p50_ms, 2),
         "bench_corpus_files": BENCH_FILES,
+        "bus_gbps": _bus_probe(),
     }
 
 
@@ -278,6 +296,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "scaling_reps": reps,
         "bench_corpus_files": BENCH_FILES,
+        "bus_gbps": _bus_probe(),
     }
 
 

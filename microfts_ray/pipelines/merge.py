@@ -244,8 +244,9 @@ def _emit_staged_warm(
 
     from .query import IndexReader, _write_warm_dir
 
-    shared_ref, staging, wmin, sem = warm_ctx
+    shared_ref, staging, wmin, sem, vec_min = warm_ctx
     out = {}
+    dense_k = None
     if tbl.num_rows:
         terms = tbl["term"].to_numpy()
         ns = tbl["n"].to_numpy()
@@ -262,6 +263,15 @@ def _emit_staged_warm(
                 if dls is not None:
                     r._chunk_dl_cache = dls
                 out = r.warm_from_table(tbl, todo, mps)
+                dense_k = int(dense[1][-1])
+                # the WRITE (incl. the f32 vector pre-scatter) stays
+                # inside the semaphore: both are bandwidth-bound and
+                # 32 concurrent streams thrash this host's bus
+                _write_warm_dir(
+                    os.path.join(staging, dirname), out, lo, hi, None,
+                    wmin, dense_k=dense_k, vec_min=vec_min,
+                )
+                return
             finally:
                 if sem is not None:
                     sem.release.remote()
@@ -492,9 +502,11 @@ def merge_index(
                     if cap > 0
                     else None
                 )
+                from .query import _vec_min_default as _vmd
+
                 warm_ctx = (
                     ray.put(warm_shared_vals), staging,
-                    int(warm_min_entries), sem,
+                    int(warm_min_entries), sem, _vmd(),
                 )
 
     def run_shard(batch: dict) -> dict:
@@ -651,7 +663,7 @@ def merge_index(
             import json as _json
             import shutil as _shutil
 
-            _, staging, _, _ = warm_ctx
+            _, staging, _, _, _ = warm_ctx
             sha = _IR2(index_dir)._manifest_sha()
             target = os.path.join(index_dir, "warmcache", sha)
             store = _warmstore()

@@ -203,7 +203,7 @@ class IndexReader:
         # dense per-term score vectors (hot-term fast path)
         self._vec_cache: dict[int, np.ndarray] = {}
         self._vec_bytes = 0
-        self._vec_min = 300_000  # build a vector when a term has >= this many postings
+        self._vec_min = _vec_min_default()  # vector when a term has >= this many postings
         # bytes of dense f32 vectors to hold — PER READER, so a pool
         # must divide the host budget by its actor count (QueryService
         # does); vectors are private, only sorted_kc pages are shared
@@ -538,9 +538,17 @@ class IndexReader:
                 except Exception:
                     ent = None
                 if ent is not None:
-                    meta, kref, cref = ent
+                    meta, kref, cref, vrefs = ent
                     if meta.get("manifest_sha") == sha:
-                        return fill(meta, _ray.get(kref), _ray.get(cref))
+                        ok = fill(meta, _ray.get(kref), _ray.get(cref))
+                        if ok:
+                            for t, vref in vrefs.items():
+                                if t in self._sorted_kc and t not in self._vec_cache:
+                                    # shared plasma copy: not counted
+                                    # against this reader's PRIVATE
+                                    # _vec_budget
+                                    self._vec_cache[t] = _ray.get(vref)
+                        return ok
             meta_p = os.path.join(dd, "meta.json")
             if not os.path.exists(meta_p):
                 return False
@@ -2732,6 +2740,15 @@ def _warm_dir_done(dd: str, sha: str | None, min_entries: int) -> int:
     return -1
 
 
+# a term gets a dense f32 score vector when it has >= this many
+# postings (IndexReader._vec_min default; emission pre-builds vectors
+# for the same set so serving never pays the scatter)
+def _vec_min_default() -> int:
+    import os
+
+    return int(os.environ.get("MICROFTS_VEC_MIN", 300_000))
+
+
 class _WarmStoreImpl:
     """Session-wide object-store holder for warm-cache arrays, keyed
     by warm-dir path. Every entry's keys/contribs live as ACTOR-OWNED
@@ -2747,13 +2764,21 @@ class _WarmStoreImpl:
     def __init__(self):
         self._dirs: dict = {}
 
-    def put_dir(self, dirpath: str, meta: dict, keys, contribs) -> bool:
+    def put_dir(
+        self, dirpath: str, meta: dict, keys, contribs, vecs=None
+    ) -> bool:
         import ray as _ray
 
         # re-put: the incoming arrays are views of CALLER-owned plasma
         # objects that die with the emitting task; the store's copies
-        # are owned by this long-lived actor
-        self._dirs[dirpath] = (meta, _ray.put(keys), _ray.put(contribs))
+        # are owned by this long-lived actor. vecs: prebuilt f32 dense
+        # score vectors per hot term — one shared physical copy for
+        # every reader/pool actor (the round-2 N x 6 GiB private-vector
+        # concern dissolves here)
+        vrefs = {
+            int(t): _ray.put(v) for t, v in (vecs or {}).items()
+        }
+        self._dirs[dirpath] = (meta, _ray.put(keys), _ray.put(contribs), vrefs)
         return True
 
     def get_dir(self, dirpath: str):
@@ -2767,7 +2792,7 @@ class _WarmStoreImpl:
             return False
         meta = dict(e[0])
         meta["manifest_sha"] = sha
-        self._dirs[dst] = (meta, e[1], e[2])
+        self._dirs[dst] = (meta,) + tuple(e[1:])
         return True
 
     def drop_prefix(self, prefix: str) -> int:
@@ -2830,6 +2855,8 @@ def _write_warm_dir(
     hi: int,
     sha: str | None,
     min_entries: int,
+    dense_k: int | None = None,
+    vec_min: int | None = None,
 ) -> int:
     """Persist one warm dir: concatenated sorted keys + f64 contribs
     with a per-term offset directory. sha=None marks a STAGED dir (the
@@ -2875,11 +2902,25 @@ def _write_warm_dir(
     if store is not None:
         import ray as _ray
 
+        vecs = {}
+        if dense_k is not None:
+            # pre-scatter the f32 dense score vectors for VEC_MIN+
+            # terms HERE, while keys/contribs are cache-resident in
+            # the emitting task: serving then shares one plasma copy
+            # per vector instead of every reader paying the scatter
+            # (episodically 0.5-1.3 s/term on this box) privately
+            vm = vec_min if vec_min is not None else _vec_min_default()
+            for t in terms:
+                k, c = out[t][0], out[t][1]
+                if k.size >= vm:
+                    v = np.zeros(dense_k, dtype=np.float32)
+                    v[k] = c
+                    vecs[int(t)] = v
         try:
             # synchronous: the plasma copies of keys/contribs are owned
             # by THIS task until the store re-puts them; returning
             # before the actor ran could free them under it
-            _ray.get(store.put_dir.remote(dd, meta, keys, contribs))
+            _ray.get(store.put_dir.remote(dd, meta, keys, contribs, vecs))
         except Exception:
             pass  # store gone: the files remain the source of truth
     return len(terms)
@@ -2896,6 +2937,7 @@ def emit_warm_shard(
     dl_space,
     maps,
     hot_exclude=(),
+    vec_min: int | None = None,
 ) -> int:
     """One term-range shard of the merge-emitted warm cache: bulk-
     decode the range's hot terms (warm_terms_bulk — the exact same
@@ -2925,7 +2967,10 @@ def emit_warm_shard(
                 totals[t] = totals.get(t, 0) + int(n)
     todo = sorted(t for t, n in totals.items() if n >= min_entries)
     out = r.warm_terms_bulk(todo, maps=maps) if todo else {}
-    return _write_warm_dir(dd, out, lo, hi, sha, min_entries)
+    return _write_warm_dir(
+        dd, out, lo, hi, sha, min_entries, dense_k=int(dense[1][-1]),
+        vec_min=vec_min,
+    )
 
 
 def emit_warm_hot(
@@ -2936,6 +2981,7 @@ def emit_warm_hot(
     dense,
     dl_space,
     maps,
+    vec_min: int | None = None,
 ) -> int:
     """One ultra-hot split term's warm dir (shard=hot-<term>): the
     term left the term-range scheme at merge (doc-range sub-shards),
@@ -2953,7 +2999,10 @@ def emit_warm_hot(
         r._chunk_dl_cache = dl_space
     out = r.warm_terms_bulk([int(term)], maps=maps)
     out = {t: v for t, v in out.items() if v[0].size >= min_entries}
-    return _write_warm_dir(dd, out, int(term), int(term) + 1, sha, min_entries)
+    return _write_warm_dir(
+        dd, out, int(term), int(term) + 1, sha, min_entries,
+        dense_k=int(dense[1][-1]), vec_min=vec_min,
+    )
 
 
 def emit_warm_cache(
@@ -3010,6 +3059,8 @@ def emit_warm_cache(
     # The cap is cluster-wide; multi-node deployments with per-host
     # buses should set MICROFTS_EMIT_TASKS ≈ 6 × n_hosts, or 0 to
     # run every shard concurrently.
+    vec_min = _vec_min_default()  # driver-evaluated: workers may not
+    # see late env changes
     cap = int(os.environ.get("MICROFTS_EMIT_TASKS", "6"))
     ncpu = 1.0
     if cap > 0:
@@ -3027,7 +3078,7 @@ def emit_warm_cache(
         dense, dls, mps = _ray.get(shared_ref)
         return ews(
             index_dir, sha, shard, lo, hi, min_entries, dense, dls, mps,
-            hot_exclude=hot_terms,
+            hot_exclude=hot_terms, vec_min=vec_min,
         )
 
     @_ray.remote(num_cpus=ncpu)
@@ -3039,13 +3090,34 @@ def emit_warm_cache(
         from microfts_ray.pipelines.query import emit_warm_hot as ewh
 
         dense, dls, mps = _ray.get(shared_ref)
-        return ewh(index_dir, sha, term, min_entries, dense, dls, mps)
+        return ewh(
+            index_dir, sha, term, min_entries, dense, dls, mps,
+            vec_min=vec_min,
+        )
 
-    futs = [
-        task.remote(s, bounds[s], bounds[s + 1])
-        for s in range(merged["n_shards"])
-    ] + [hot_task.remote(t) for t in hot_terms]
-    n_terms = sum(_ray.get(futs))
+    # driver-side resume pre-check: dirs the merge already staged
+    # inline (the common case) are counted here, so tasks — each of
+    # which maps the multi-hundred-MB shared state — launch only for
+    # genuinely missing dirs
+    n_terms = 0
+    futs = []
+    for s in range(merged["n_shards"]):
+        done = _warm_dir_done(
+            os.path.join(d, f"shard={s:04d}"), sha, min_entries
+        )
+        if done >= 0:
+            n_terms += done
+        else:
+            futs.append(task.remote(s, bounds[s], bounds[s + 1]))
+    for t in hot_terms:
+        done = _warm_dir_done(
+            os.path.join(d, f"shard=hot-{t:05d}"), sha, min_entries
+        )
+        if done >= 0:
+            n_terms += done
+        else:
+            futs.append(hot_task.remote(t))
+    n_terms += sum(_ray.get(futs))
     os.makedirs(d, exist_ok=True)
     marker = {
         "manifest_sha": sha,

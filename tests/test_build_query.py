@@ -943,3 +943,34 @@ def test_warmstore_serves_without_files(corpus_dir, tmp_path_factory, oracle):
         assert not r2._load_warmcache(min_entries=50)
     finally:
         del os.environ["MICROFTS_WARMSTORE"]
+
+
+def test_warmstore_prebuilt_dense_vectors(corpus_dir, tmp_path_factory):
+    """Emission pre-scatters the f32 dense score vectors for VEC_MIN+
+    terms and parks them in the warm store: a loading reader's
+    _vec_cache is populated with arrays bit-identical to a privately
+    built vector, shared (read-only plasma) instead of per-reader."""
+    import glob
+    import os
+
+    from microfts_ray.pipelines.merge import merge_index
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("wvec"))
+    idx = f"{tmp}/idx"
+    os.environ["MICROFTS_VEC_MIN"] = "50"
+    try:
+        build_index(paths, idx, target_rows_per_part=30)
+        merge_index(idx, n_shards=4, emit_warm=True, warm_inline=True,
+                    warm_min_entries=50)
+        r = IndexReader(idx)
+        assert r._load_warmcache(min_entries=50)
+        assert r._vec_cache, "no prebuilt vectors loaded from the store"
+        for t, vec in list(r._vec_cache.items())[:5]:
+            assert not vec.flags.writeable  # shared plasma copy
+            k, c = r._sorted_kc[t]
+            local = np.zeros(vec.size, dtype=np.float32)
+            local[np.asarray(k)] = np.asarray(c)
+            assert np.array_equal(local, vec)
+    finally:
+        del os.environ["MICROFTS_VEC_MIN"]
