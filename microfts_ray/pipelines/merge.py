@@ -206,93 +206,44 @@ def write_shard_table(
     return entry
 
 
-@ray.remote(num_cpus=0)
-class _WarmSemActor:
-    """Cluster-wide counting semaphore bounding concurrent inline
-    warm decodes (async actor: acquire parks on the event loop, so
-    waiting merge tasks cost no CPU slot here)."""
-
-    def __init__(self, slots: int):
-        import asyncio
-
-        self._sem = asyncio.Semaphore(max(1, int(slots)))
-
-    async def acquire(self) -> bool:
-        await self._sem.acquire()
-        return True
-
-    async def release(self) -> bool:
-        self._sem.release()
-        return True
+_WARM_META = (("w_dirname", pa.string()), ("w_lo", pa.int32()),
+              ("w_hi", pa.int32()))
 
 
-def _emit_staged_warm(
-    index_dir: str, warm_ctx, tbl, dirname: str, lo: int, hi: int
-) -> None:
-    """Stage one warm-cache dir from an IN-MEMORY posting table (see
-    merge_index: merge-inline warm emission). The table is the merge
-    task's own blob rows, so no storage read happens here; output is
-    bit-identical to the file-reading emit path because per-term keys
-    are unique and the final stable sort canonicalizes order.
+def _with_warm_meta(tbl: pa.Table, dirname: str, lo: int, hi: int) -> pa.Table:
+    """Tag a shard's warm-eligible posting rows with their target
+    warm-dir identity so the pipelined emit stage (merge_index) can
+    route blocks without any side channel."""
+    n = tbl.num_rows
+    tbl = tbl.append_column("w_dirname", pa.array([dirname] * n, pa.string()))
+    tbl = tbl.append_column("w_lo", pa.array([lo] * n, pa.int32()))
+    return tbl.append_column("w_hi", pa.array([hi] * n, pa.int32()))
 
-    The DECODE (not the write) is gated by the shared semaphore actor:
-    merge tasks all hold their tables ready, but only `cap` decodes
-    run at once — on a shared-bus host the decode is bandwidth-bound
-    and >knee concurrent streams thrash (measured: 32-way inline
-    decode 65 s vs the same work serialized at the knee ~22 s)."""
-    import ray as _ray
 
-    from .query import IndexReader, _write_warm_dir
-
-    shared_ref, staging, wmin, sem, vec_min = warm_ctx
-    out = {}
-    dense_k = None
-    if tbl.num_rows:
-        terms = tbl["term"].to_numpy()
-        ns = tbl["n"].to_numpy()
-        uniq, inv = np.unique(terms, return_inverse=True)
-        sums = np.bincount(inv, weights=ns.astype(np.float64)).astype(np.int64)
-        todo = uniq[sums >= wmin]
-        if todo.size:
-            if sem is not None:
-                _ray.get(sem.acquire.remote())
-            try:
-                dense, dls, mps = _ray.get(shared_ref)
-                r = IndexReader(index_dir)
-                r._dense = dense
-                if dls is not None:
-                    r._chunk_dl_cache = dls
-                out = r.warm_from_table(tbl, todo, mps)
-                dense_k = int(dense[1][-1])
-                # the WRITE (incl. the f32 vector pre-scatter) stays
-                # inside the semaphore: both are bandwidth-bound and
-                # 32 concurrent streams thrash this host's bus
-                _write_warm_dir(
-                    os.path.join(staging, dirname), out, lo, hi, None,
-                    wmin, dense_k=dense_k, vec_min=vec_min,
-                )
-                return
-            finally:
-                if sem is not None:
-                    sem.release.remote()
-    _write_warm_dir(os.path.join(staging, dirname), out, lo, hi, None, wmin)
+def _empty_warm_tbl() -> pa.Table:
+    base = TERMS_SCHEMA.empty_table()
+    for name, typ in _WARM_META:
+        base = base.append_column(name, pa.array([], typ))
+    return base
 
 
 def write_hot_term_shards(
-    index_dir: str, term: int, terms_paths: list[str], n_sub: int,
-    warm_ctx=None,
-) -> list[dict]:
+    index_dir: str, term: int, terms_paths: list[str], n_sub: int
+) -> tuple[list[dict], pa.Table | None]:
     """Doc-range split of one ultra-hot term: its rows (doc-disjoint
     per-partition runs) are chopped into n_sub sub-shards of ~equal
     posting mass, each written as its own file — the escalation the
     term-range layout reserves for terms heavier than a whole target
     shard. Sub-shards are doc-DISJOINT row groups (runs never share a
     doc); queries are unchanged because every kernel already consumes
-    multiple doc-disjoint sources per term. Checkpointed per term."""
+    multiple doc-disjoint sources per term. Checkpointed per term.
+    Returns (sub-shard entries, the term's full in-memory rows —
+    None on checkpoint resume, when a caller wanting them must read
+    the written files instead)."""
     pid = f"merged-hot-{term:05d}"
     existing = mf.read_part_checkpoint(index_dir, pid)
     if existing is not None:
-        return existing["subs"]
+        return existing["subs"], None
     tables = []
     for path in terms_paths:
         f = pq.ParquetFile(path)
@@ -309,12 +260,6 @@ def write_hot_term_shards(
         if keep.any():
             tables.append(tbl.filter(keep))
     rows = pa.concat_tables(tables) if tables else TERMS_SCHEMA.empty_table()
-    if warm_ctx is not None:
-        # the hot term's full posting set is in memory right here:
-        # stage its warm dir (shard=hot-<term>) without a re-read
-        _emit_staged_warm(
-            index_dir, warm_ctx, rows, f"shard=hot-{term:05d}", term, term + 1
-        )
     ns = rows["n"].to_numpy().astype(np.int64) if rows.num_rows else np.empty(0, np.int64)
     total = int(ns.sum())
     n_sub = max(1, min(n_sub, max(1, rows.num_rows)))
@@ -351,7 +296,7 @@ def write_hot_term_shards(
             }
         )
     mf.write_part_checkpoint(index_dir, pid, {"pid": pid, "subs": subs})
-    return subs
+    return subs, rows
 
 
 def stack_segments(index_dir: str, gid: int, paths: list[str]) -> dict:
@@ -492,21 +437,11 @@ def merge_index(
                 staging = os.path.join(
                     index_dir, "warmcache", f".staging-{uuid.uuid4().hex[:8]}"
                 )
-                # decode-concurrency semaphore: same knee as the
-                # two-phase emitter (MICROFTS_EMIT_TASKS; cluster-wide
-                # — multi-node deployments set ≈knee × n_hosts, or 0
-                # to uncap on per-node-bus hardware)
-                cap = int(os.environ.get("MICROFTS_EMIT_TASKS", "6"))
-                sem = (
-                    _WarmSemActor.options(num_cpus=0).remote(cap)
-                    if cap > 0
-                    else None
-                )
                 from .query import _vec_min_default as _vmd
 
                 warm_ctx = (
                     ray.put(warm_shared_vals), staging,
-                    int(warm_min_entries), sem, _vmd(),
+                    int(warm_min_entries), _vmd(),
                 )
 
     def run_shard(batch: dict) -> dict:
@@ -526,19 +461,57 @@ def merge_index(
         import pyarrow.parquet as _pq
 
         from microfts_ray.pipelines.merge import (
-            _emit_staged_warm as esw,
             make_dict_resolver as mdr,
             make_dl_space as mds,
             write_shard_table as wst,
         )
         import microfts_ray.state.manifest as _mfmod
 
+        from os.path import join as _os_path_join
+
+        from microfts_ray.pipelines.merge import (
+            _empty_warm_tbl as ewt,
+            _with_warm_meta as wwm,
+            write_hot_term_shards as whs,
+        )
+        from microfts_ray.pipelines.query import _write_warm_dir as wwd
+
         rewriting = mode == "rewrite" or dead is not None
         _m = _mfmod.load_manifest(index_dir) if rewriting else None
         resolver = mdr(index_dir, _m) if rewriting else None
         dl_space = mds(index_dir, _m) if rewriting else None
         out = []
-        for shard, lo, hi in zip(batch["shard"], batch["lo"], batch["hi"]):
+        warm_tbls = []
+        for kind, shard, lo, hi, term, n_sub in zip(
+            batch["kind"], batch["shard"], batch["lo"], batch["hi"],
+            batch["term"], batch["n_sub"],
+        ):
+            if str(kind) == "hot":
+                # ultra-hot term unit: doc-range split + (pipelined)
+                # warm rows for its shard=hot-* dir — runs in the SAME
+                # dataset as the range shards so everything overlaps
+                term = int(term)
+                subs, rows = whs(index_dir, term, terms_paths, int(n_sub))
+                out.append(len(subs))
+                if warm_ctx is not None and rows is not None:
+                    dirname = f"shard=hot-{term:05d}"
+                    total = (
+                        int(rows["n"].to_numpy().astype(_np.int64).sum())
+                        if rows.num_rows
+                        else 0
+                    )
+                    if total >= warm_ctx[2]:
+                        warm_tbls.append(
+                            wwm(rows, dirname, term, term + 1)
+                        )
+                    else:
+                        wwd(
+                            _os_path_join(warm_ctx[1], dirname), {},
+                            term, term + 1, None, warm_ctx[2],
+                        )
+                # rows None (checkpoint resume): the file-reading
+                # fallback emit fills the dir
+                continue
             shard, lo, hi = int(shard), int(lo), int(hi)
             pid = f"merged-{shard:04d}-of-{n_shards:04d}"
             import microfts_ray.state.manifest as _mf
@@ -579,56 +552,153 @@ def merge_index(
             )
             out.append(e["stats"]["n_postings"])
             if warm_ctx is not None:
-                esw(
-                    index_dir, warm_ctx,
-                    tbl if tbl is not None else _TS.empty_table(),
-                    f"shard={shard:04d}", lo, hi,
-                )
+                # pipelined warm emission: pass this shard's
+                # warm-eligible rows (terms at/over the warm
+                # threshold; range-sharding makes per-shard totals the
+                # global totals) downstream as an Arrow block — the
+                # decode runs in the capped emit actor pool, zero-copy
+                # through the object store, overlapped with the
+                # remaining merge writes
+                wmin_l = warm_ctx[2]
+                wtbl = None
+                if tbl is not None and tbl.num_rows:
+                    terms_np = tbl["term"].to_numpy()
+                    ns_np = tbl["n"].to_numpy()
+                    uniq, inv = _np.unique(terms_np, return_inverse=True)
+                    sums = _np.bincount(
+                        inv, weights=ns_np.astype(_np.float64)
+                    ).astype(_np.int64)
+                    keepw = (sums >= wmin_l)[inv]
+                    if keepw.any():
+                        wtbl = wwm(
+                            tbl.filter(_pa.array(keepw)),
+                            f"shard={shard:04d}", lo, hi,
+                        )
+                if wtbl is None:
+                    # no warm-depth term in this range: stage the
+                    # empty dir here (no decode needed) so provenance
+                    # and the completion marker stay uniform
+                    wwd(
+                        _os_path_join(warm_ctx[1], f"shard={shard:04d}"),
+                        {}, lo, hi, None, wmin_l,
+                    )
+                else:
+                    warm_tbls.append(wtbl)
+        if warm_ctx is not None:
+            return (
+                _pa.concat_tables(warm_tbls) if warm_tbls else ewt()
+            )
         return {"shard": batch["shard"], "n_postings": np.array(out, dtype=np.int64)}
 
-    ds = ray.data.from_items(
-        [{"shard": s, "lo": bounds[s], "hi": bounds[s + 1]} for s in range(n_shards)],
-        override_num_blocks=n_shards,
-    )
+    units = [
+        {"kind": "shard", "shard": s, "lo": bounds[s],
+         "hi": bounds[s + 1], "term": -1, "n_sub": 0}
+        for s in range(n_shards)
+    ] + [
+        {"kind": "hot", "shard": -1, "lo": 0, "hi": 0,
+         "term": int(t), "n_sub": int(ns)}
+        for t, ns in hot_subs_of.items()
+    ]
+    ds = ray.data.from_items(units, override_num_blocks=len(units))
     kwargs = {"concurrency": concurrency} if concurrency else {}
-    if warm_ctx is not None:
-        # the inline warm decode is memory-bandwidth-bound, not
-        # core-bound (MICROFTS_WARM_TASKS's measured rationale): cap
-        # in-flight shard tasks so the decode streams don't saturate
-        # the per-host bus
-        cap = int(os.environ.get("MICROFTS_EMIT_TASKS", "6"))
-        if cap > 0:
-            kwargs["concurrency"] = min(
-                kwargs.get("concurrency") or n_shards, cap
-            )
-    ds.map_batches(run_shard, batch_size=1, num_cpus=1, **kwargs).materialize()
+    cap = int(os.environ.get("MICROFTS_EMIT_TASKS", "6"))
+    shard_out = ds.map_batches(run_shard, batch_size=1, num_cpus=1, **kwargs)
+    if warm_ctx is None:
+        shard_out.materialize()
+    else:
+        # pipelined warm emission: the merge stage runs FULL width
+        # (its zstd writes are cpu-bound) and streams each shard's
+        # warm-eligible rows — one ~50 MB Arrow block per shard,
+        # zero-copy through the object store — into a small ACTOR
+        # POOL whose size is the measured bus knee. Long-lived actors
+        # amortize the first-allocation page-fault tax that one-shot
+        # emit tasks each paid, and decode overlaps the rest of the
+        # merge instead of serializing behind it.
+        shared_ref_p, staging_p, wmin_p, vec_min_p = warm_ctx
+
+        class _EmitWarm:
+            def __init__(self):
+                import sys
+
+                if pkg_root not in sys.path:
+                    sys.path.insert(0, pkg_root)
+                import ray as _ray
+
+                from microfts_ray.pipelines.query import IndexReader as _IRw
+
+                dense, dls, mps = _ray.get(shared_ref_p)
+                r = _IRw(index_dir)
+                r._dense = dense
+                if dls is not None:
+                    r._chunk_dl_cache = dls
+                self.r = r
+                self.mps = mps
+                self.dense_k = int(dense[1][-1])
+
+            def __call__(self, tbl):
+                import os as _os
+
+                import numpy as _np
+                import pyarrow as _pa2
+
+                from microfts_ray.pipelines.query import (
+                    _write_warm_dir as _wwd,
+                )
+
+                names = []
+                if tbl.num_rows:
+                    dirnames = tbl["w_dirname"].to_numpy(
+                        zero_copy_only=False
+                    )
+                    for dn in _np.unique(dirnames):
+                        sub = tbl.filter(_pa2.array(dirnames == dn))
+                        lo = int(sub["w_lo"][0].as_py())
+                        hi = int(sub["w_hi"][0].as_py())
+                        dd = _os.path.join(staging_p, str(dn))
+                        if _os.path.isdir(dd):
+                            # a warm block was split mid-dir: refuse
+                            # loudly rather than stage a partial dir
+                            raise RuntimeError(
+                                f"staged warm dir {dn} already exists "
+                                "(block split? raise DataContext."
+                                "target_max_block_size)"
+                            )
+                        data = sub.drop_columns(
+                            ["w_dirname", "w_lo", "w_hi"]
+                        )
+                        out = self.r.warm_from_table(
+                            data, _np.unique(data["term"].to_numpy()),
+                            self.mps,
+                        )
+                        _wwd(
+                            dd, out, lo, hi, None, wmin_p,
+                            dense_k=self.dense_k, vec_min=vec_min_p,
+                        )
+                        names.append(str(dn))
+                return _pa2.table(
+                    {"dirname": _pa2.array(names, _pa2.string())}
+                )
+
+        n_emit = max(1, cap) if cap > 0 else n_shards
+        # a hot term's warm block can exceed the default 128 MiB
+        # target block size; raise it for this pipeline so a warm
+        # dir's rows are never split across blocks (_EmitWarm refuses
+        # partial dirs loudly)
+        ctx = ray.data.DataContext.get_current()
+        prev_tmbs = ctx.target_max_block_size
+        ctx.target_max_block_size = max(prev_tmbs or 0, 1 << 30)
+        try:
+            shard_out.map_batches(
+                _EmitWarm,
+                batch_size=None,
+                batch_format="pyarrow",
+                num_cpus=1,
+                concurrency=n_emit,
+            ).materialize()
+        finally:
+            ctx.target_max_block_size = prev_tmbs
     hot_entries: list[dict] = []
     if hot_subs_of:
-
-        def run_hot(batch: dict) -> dict:
-            import sys
-
-            if pkg_root not in sys.path:
-                sys.path.insert(0, pkg_root)
-            from microfts_ray.pipelines.merge import write_hot_term_shards as whs
-
-            done = []
-            for t, n_sub in zip(batch["term"], batch["n_sub"]):
-                done.append(
-                    len(
-                        whs(
-                            index_dir, int(t), terms_paths, int(n_sub),
-                            warm_ctx=warm_ctx,
-                        )
-                    )
-                )
-            return {"term": batch["term"], "n_subs": np.array(done, np.int64)}
-
-        hds = ray.data.from_items(
-            [{"term": t, "n_sub": s} for t, s in hot_subs_of.items()],
-            override_num_blocks=len(hot_subs_of),
-        )
-        hds.map_batches(run_hot, batch_size=1, num_cpus=1, **kwargs).materialize()
         for t in hot_subs_of:
             ck = mf.read_part_checkpoint(index_dir, f"merged-hot-{t:05d}")
             hot_entries.extend(ck["subs"])
@@ -663,7 +733,7 @@ def merge_index(
             import json as _json
             import shutil as _shutil
 
-            _, staging, _, _, _ = warm_ctx
+            _, staging, _, _ = warm_ctx
             sha = _IR2(index_dir)._manifest_sha()
             target = os.path.join(index_dir, "warmcache", sha)
             store = _warmstore()
