@@ -444,7 +444,7 @@ def merge_index(
                     int(warm_min_entries), _vmd(),
                 )
 
-    def run_shard(batch: dict) -> dict:
+    def run_unit(batch: dict):
         # direct-read merge: each shard task reads only the row groups
         # of its term range (terms sorted in segments -> parquet stats
         # prune). Measured faster than a Ray groupby shuffle of the
@@ -602,7 +602,7 @@ def merge_index(
     ds = ray.data.from_items(units, override_num_blocks=len(units))
     kwargs = {"concurrency": concurrency} if concurrency else {}
     cap = int(os.environ.get("MICROFTS_EMIT_TASKS", "6"))
-    shard_out = ds.map_batches(run_shard, batch_size=1, num_cpus=1, **kwargs)
+    shard_out = ds.map_batches(run_unit, batch_size=1, num_cpus=1, **kwargs)
     if warm_ctx is None:
         shard_out.materialize()
     else:

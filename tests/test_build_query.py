@@ -974,3 +974,34 @@ def test_warmstore_prebuilt_dense_vectors(corpus_dir, tmp_path_factory):
             assert np.array_equal(local, vec)
     finally:
         del os.environ["MICROFTS_VEC_MIN"]
+
+
+def test_sharded_service_from_warmstore(corpus_dir, tmp_path_factory, oracle):
+    """Term-range serving actors (separate worker processes) warm
+    from the plasma warm store: with every emitted npy deleted, a
+    ShardedQueryService must still come up warm and stay bit-identical
+    to the oracle — proving pool actors reach the store across
+    process boundaries and share its single physical copy."""
+    import glob
+    import os
+
+    from microfts_ray.pipelines.merge import merge_index
+    from microfts_ray.pipelines.query import ShardedQueryService
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("wsvc"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    merge_index(idx, n_shards=4, emit_warm=True, warm_inline=True,
+                warm_min_entries=100)
+    for p in glob.glob(os.path.join(idx, "warmcache", "*", "shard=*", "*.npy")):
+        os.remove(p)
+    svc = ShardedQueryService(idx, n_groups=2, min_entries=100)
+    warm = svc.ready()
+    assert sum(len(w) for w in warm) > 0, "actors did not warm from the store"
+    for q in ["def", "import mod_1"]:
+        got = svc.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(r["doc_id"], r["chunk_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["chunk_id"], r["score"]) for r in want
+        ], q
