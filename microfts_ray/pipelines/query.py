@@ -2758,8 +2758,11 @@ class _WarmStoreImpl:
     can evict just-emitted warm files within seconds, turning the
     first query pass into a disk crawl; plasma pages cannot be
     reclaimed without swap. Files remain the restart/cold-start path;
-    the store is the same-session fast path. At multi-node scale one
-    store per node holds that node's term-range shards."""
+    the store is the same-session fast path. At multi-node scale the
+    store actor lives on one node but Ray replicates each object into
+    a requesting node's plasma on first ray.get and serves later
+    reads node-locally — so the steady state is still one physical
+    copy per node that actually serves the range."""
 
     def __init__(self):
         self._dirs: dict = {}
