@@ -63,9 +63,42 @@ def _balanced_bounds(
     else:
         paths = terms_paths
     counts = np.zeros(GRAM_3_BASE, dtype=np.int64)
-    for path in paths:
-        t = pq.read_table(path, columns=["term", "n"])
-        np.add.at(counts, t["term"].to_numpy(), t["n"].to_numpy())
+    use_ray = False
+    try:
+        use_ray = ray.is_initialized() and len(paths) >= 8
+    except Exception:
+        pass
+    if use_ray:
+        # fan the sample reads out as tasks: the serial driver loop
+        # was ~3.5 s at 136 segments — pure Amdahl serial time that
+        # capped the build's measured 2->8 cpu scaling efficiency
+        # (each task returns one small 50,653-bin histogram)
+        pkg_root = _pkg_root()
+
+        @ray.remote(num_cpus=1)
+        def _hist(chunk: list[str]) -> np.ndarray:
+            import sys
+
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            import numpy as _np
+            import pyarrow.parquet as _pq
+
+            from microfts_ray.functions.grams import GRAM_3_BASE as _G
+
+            c = _np.zeros(_G, dtype=_np.int64)
+            for path in chunk:
+                t = _pq.read_table(path, columns=["term", "n"])
+                _np.add.at(c, t["term"].to_numpy(), t["n"].to_numpy())
+            return c
+
+        nt = min(16, len(paths))
+        for c in ray.get([_hist.remote(paths[i::nt]) for i in range(nt)]):
+            counts += c
+    else:
+        for path in paths:
+            t = pq.read_table(path, columns=["term", "n"])
+            np.add.at(counts, t["term"].to_numpy(), t["n"].to_numpy())
     cum = np.cumsum(counts, dtype=np.int64)
     total = int(cum[-1])
     cuts = [
