@@ -49,7 +49,7 @@ from .build import TERMS_SCHEMA, _pkg_root, encode_partition_runs
 
 
 def _balanced_bounds(
-    terms_paths: list[str], n_shards: int, sample: int = 64
+    terms_paths: list[str], n_shards: int, sample: int = 32
 ) -> tuple[list[int], np.ndarray]:
     """Term-range boundaries with ~equal posting mass per shard, from
     a segment sample (exact balance is not needed, only skew
