@@ -198,6 +198,12 @@ def q_token_count(sf_dir: str) -> Any:
     return token_count(_docs(sf_dir))
 
 
+def q_token_count_bpe(sf_dir: str) -> Any:
+    from microfts_ray.pipelines.textstats import token_count_bpe
+
+    return token_count_bpe(_docs(sf_dir))
+
+
 def q_quality_stats(sf_dir: str) -> Any:
     from microfts_ray.pipelines.textstats import quality_stats
 
@@ -453,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_partial": q_search_partial,
         "term_df": q_term_df,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "quality_stats": q_quality_stats,
         "dedup_exact": q_dedup_exact,
         "lang_count": q_lang_count,
@@ -522,6 +529,19 @@ _NGRAM_JACCARD_SQL = (
 )
 
 
+def _token_count_bpe_sql() -> str:
+    """Same RE2 pattern on both sides: DuckDB and Arrow both use RE2,
+    so regexp_extract_all and pc.count_substring_regex count identical
+    non-overlapping leftmost matches."""
+    from microfts_ray.pipelines.textstats import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return (
+        f"SELECT doc_id, len(regexp_extract_all(text, '{pat}')) AS n_bpe_tokens "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     import microfts_ray.oracle_ops as _ops
 
@@ -576,6 +596,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             f"SELECT doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents ORDER BY doc_id"
         ),
+        "token_count_bpe": _token_count_bpe_sql(),
         "quality_stats": (
             "SELECT doc_id, length(text) AS n_chars_c, "
             f"len({_TOKENS_SQL}) AS n_tokens, "

@@ -72,6 +72,30 @@ def token_count(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# GPT-2-style byte-pair pre-tokenizer regex, restricted to RE2 syntax
+# (no lookahead) so Arrow (pc.count_substring_regex), DuckDB
+# (regexp_extract_all) and Python re count the SAME non-overlapping
+# leftmost matches — verified three-way on apostrophe/unicode edges.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count_bpe(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_bpe_tokens) — BPE-ish pre-tokenizer token count, the
+    training-data cost estimator (contractions split, digits split
+    from letters, punctuation runs one token, whitespace runs one
+    token). One vectorized RE2 pass per batch, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(batch["text"], BPE_SPLIT_PATTERN)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_bpe_tokens": n.cast(pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def term_df(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(term, df): number of docs containing each word.
 

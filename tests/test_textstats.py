@@ -5,11 +5,13 @@ import pytest
 import ray.data
 
 from microfts_ray.pipelines.textstats import (
+    BPE_SPLIT_PATTERN,
     fingerprint,
     lang_id,
     quality_stats,
     term_df,
     token_count,
+    token_count_bpe,
     word_tokens,
 )
 
@@ -42,6 +44,19 @@ def test_word_tokens():
 def test_token_count():
     out = token_count(_ds(TEXTS)).to_pandas().set_index("doc_id")["n_tokens"]
     assert out[0] == 7 and out[4] == 0 and out[5] == 6
+
+
+def test_token_count_bpe():
+    import re
+
+    out = token_count_bpe(_ds(TEXTS)).to_pandas().set_index("doc_id")["n_bpe_tokens"]
+    # python re counts the same leftmost non-overlapping matches as
+    # the Arrow/DuckDB RE2 engines for this lookahead-free pattern
+    for i, t in enumerate(TEXTS):
+        assert out[i] == len(re.findall(BPE_SPLIT_PATTERN, t)), t
+    # contractions split into (word, 't) pieces; punctuation runs fuse
+    assert out[0] == len(re.findall(BPE_SPLIT_PATTERN, TEXTS[0]))
+    assert out[4] == 0
 
 
 def test_term_df():
