@@ -439,6 +439,32 @@ def q_ann_lsh(sf_dir: str) -> pa.Table:
     )
 
 
+def q_ann_ivf(sf_dir: str) -> pa.Table:
+    """ANN via the PERSISTED IVF index: deterministic spherical
+    k-means centroids (driver-side over a bounded sample), cell
+    partitions, query probes only its nprobe nearest cells."""
+    import hashlib
+
+    from microfts_ray.pipelines.ann import (
+        build_ann_ivf_index,
+        cosine_topk_ivf_indexed,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(src)
+    qvec = np.array(q["embedding"][0].as_py(), dtype=np.float64)
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}:ivf16i5s7".encode(),
+        digest_size=8,
+    ).hexdigest()
+    idx = f"/tmp/microfts_ann/ivf_{tag}"
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        build_ann_ivf_index(_table(sf_dir, "embeddings"), idx)
+    return cosine_topk_ivf_indexed(
+        idx, qvec, k=10, exclude_ids={int(q["vec_id"][0].as_py())}
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -485,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "fingerprint": q_fingerprint,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
     }
 
 
@@ -665,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search": _ops.fuzzy_fixture_sql(),
         "gram_candidates": _ops.candidates_fixture_sql(),
         "ann_lsh": _ops.ann_lsh_fixture_sql(),
+        "ann_ivf": _ops.ann_ivf_fixture_sql(),
         "embedding_neardup": _ops.embedding_neardup_fixture_sql(),
         "embedding_neardup_exact": _ops.embedding_exact_fixture_sql(),
     }

@@ -405,6 +405,86 @@ def media_features_fixture_sql(n: int = 60) -> str:
     )
 
 
+def ann_ivf_scalar(
+    ids: list[int],
+    embs: np.ndarray,
+    qvec: np.ndarray,
+    *,
+    k: int = 10,
+    n_list: int = 16,
+    iters: int = 5,
+    sample_stride: int = 7,
+    max_sample: int = 4096,
+    nprobe: int = 4,
+    exclude: set[int] | None = None,
+) -> list[tuple[int, int, float]]:
+    """Scalar IVF top-k: re-derives the deterministic spherical
+    k-means (per-row loops in vec_id order — bit-identical to the
+    engine's np.add.at sequential accumulation), assigns every vector
+    to its max-cosine cell, probes the query's nprobe nearest cells,
+    exact top-k within them. The final similarity uses the same
+    normalized matrix-vector expression as the engine so float
+    comparison is apples-to-apples."""
+    order = np.argsort(np.asarray(ids, dtype=np.int64), kind="stable")
+    sample_rows = [
+        i for i in order if int(ids[i]) % sample_stride == 0
+    ][:max_sample]
+    sample = embs[sample_rows].astype(np.float64)
+    # training: scalar per-row reimplementation of the engine's rule
+    norms = np.array([float(np.linalg.norm(r)) for r in sample])
+    norms[norms == 0] = 1.0
+    unit = sample / norms[:, None]
+    cents = unit[: min(n_list, unit.shape[0])].copy()
+    for _ in range(iters):
+        acc = np.zeros_like(cents)
+        cnt = np.zeros(cents.shape[0], dtype=np.int64)
+        for row in unit:  # sequential in vec_id order
+            j = int(np.argmax(row @ cents.T))
+            acc[j] += row
+            cnt[j] += 1
+        live = cnt > 0
+        cents[live] = acc[live] / cnt[live][:, None]
+        cn = np.linalg.norm(cents, axis=1)
+        cn[cn == 0] = 1.0
+        cents = cents / cn[:, None]
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn else 1.0)
+    csims = cents @ q
+    probe = set(
+        int(c) for c in np.lexsort((np.arange(cents.shape[0]), -csims))[:nprobe]
+    )
+    excl = exclude or set()
+    keep: list[int] = []
+    for i in order:
+        if int(ids[i]) in excl:
+            continue
+        row = embs[i].astype(np.float64)
+        nrm = float(np.linalg.norm(row)) or 1.0
+        if int(np.argmax((row / nrm) @ cents.T)) in probe:
+            keep.append(i)
+    if not keep:
+        return []
+    sub = embs[keep].astype(np.float64)
+    norms = np.linalg.norm(sub, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (sub / norms[:, None]) @ q
+    kept_ids = np.array([ids[i] for i in keep], dtype=np.int64)
+    top = np.lexsort((kept_ids, -sims))[:k]
+    return [
+        (r + 1, int(kept_ids[j]), float(sims[j])) for r, j in enumerate(top)
+    ]
+
+
+def ann_ivf_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_pylist()
+    embs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    qvec = embs[0]
+    rows = ann_ivf_scalar(ids, embs, qvec, k=10, exclude={int(ids[0])})
+    return values_sql(rows, ["rank", "vec_id", "cosine"], ["BIGINT", "BIGINT", "DOUBLE"])
+
+
 def ann_lsh_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     ids = t["vec_id"].to_pylist()

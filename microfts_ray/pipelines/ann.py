@@ -198,6 +198,156 @@ def cosine_topk_lsh_indexed(
     )
 
 
+def train_ivf_centroids(
+    sample: np.ndarray, n_list: int, iters: int = 5
+) -> np.ndarray:
+    """Deterministic spherical k-means over a (m, d) float64 sample:
+    init = first n_list rows, assignment by max cosine (argmax ties ->
+    lowest cell), per-cell mean accumulated SEQUENTIALLY in row order
+    (np.add.at — a scalar loop in the same order reproduces it
+    bit-for-bit, which is what the fixture oracle does), centroids
+    re-normalized each round; an emptied cell keeps its previous
+    centroid. No RNG anywhere: same sample -> same centroids on every
+    host."""
+    norms = np.linalg.norm(sample, axis=1)
+    norms[norms == 0] = 1.0
+    unit = sample / norms[:, None]
+    cents = unit[: min(n_list, unit.shape[0])].copy()
+    for _ in range(iters):
+        assign = np.argmax(unit @ cents.T, axis=1)
+        acc = np.zeros_like(cents)
+        cnt = np.zeros(cents.shape[0], dtype=np.int64)
+        np.add.at(acc, assign, unit)
+        np.add.at(cnt, assign, 1)
+        live = cnt > 0
+        cents[live] = acc[live] / cnt[live][:, None]
+        cn = np.linalg.norm(cents, axis=1)
+        cn[cn == 0] = 1.0
+        cents = cents / cn[:, None]
+    return cents
+
+
+def build_ann_ivf_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    *,
+    n_list: int = 16,
+    iters: int = 5,
+    sample_stride: int = 7,
+    max_sample: int = 4096,
+) -> dict:
+    """IVF (inverted-file) ANN index: coarse-quantize every embedding
+    to its nearest spherical-k-means centroid and write it under that
+    cell's partition (`<index>/cell=<j>/*.parquet`); a query then
+    scans only its `nprobe` nearest cells. Centroids are trained
+    DRIVER-SIDE on a deterministic sample (vec_id % sample_stride == 0,
+    capped at max_sample rows in vec_id order) — at 100 TB the sample
+    stays O(n_list * 1000) rows regardless of corpus size while
+    assignment + the partitioned write stream through map_batches at
+    full width. Complements the LSH index (hyperplane buckets): IVF
+    cells adapt to the data distribution, so cell populations stay
+    balanced when embeddings cluster."""
+    import json
+    import os
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy().astype(np.int64, copy=False)
+        keep = (ids % sample_stride) == 0
+        return batch.select(["vec_id", "embedding"]).filter(pa.array(keep))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: int(r["vec_id"]))
+    rows = rows[:max_sample]
+    sample = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cents = train_ivf_centroids(sample, n_list, iters)
+    c_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        embs = _as_matrix(batch["embedding"])
+        norms = np.linalg.norm(embs, axis=1)
+        norms[norms == 0] = 1.0
+        cell = np.argmax((embs / norms[:, None]) @ c.T, axis=1)
+        return batch.append_column("cell", pa.array(cell, pa.int32()))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    meta = {
+        "n_list": int(cents.shape[0]),
+        "iters": iters,
+        "sample_stride": sample_stride,
+        "max_sample": max_sample,
+        "dim": int(cents.shape[1]),
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def cosine_topk_ivf_indexed(
+    index_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    exclude_ids: set[int] | None = None,
+) -> pa.Table:
+    """ANN query against a persisted IVF index: rank cells by centroid
+    cosine (ties -> lowest cell id), read ONLY the nprobe nearest
+    cells' partitions, exact-rescore within them. Same
+    gather-sort-score tail as cosine_topk_lsh_indexed so results are
+    deterministic regardless of write batching."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn else 1.0)
+    csims = cents @ q
+    cells = np.lexsort((np.arange(cents.shape[0]), -csims))[:nprobe]
+    paths = [
+        f
+        for c in sorted(int(c) for c in cells)
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    tbl = pa.concat_tables(
+        [pq.read_table(f, columns=["vec_id", "embedding"]) for f in paths]
+    )
+    ids = tbl["vec_id"].to_numpy().astype(np.int64, copy=False)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    embs = _as_matrix(tbl["embedding"])[order]
+    if exclude_ids:
+        keep = ~np.isin(ids, np.fromiter(exclude_ids, dtype=np.int64))
+        ids, embs = ids[keep], embs[keep]
+    norms = np.linalg.norm(embs, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (embs / norms[:, None]) @ q
+    top = np.lexsort((ids, -sims))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, top.size + 1), pa.int64()),
+            "vec_id": pa.array(ids[top], pa.int64()),
+            "cosine": pa.array(sims[top], pa.float64()),
+        }
+    )
+
+
 def cosine_topk_lsh(
     ds: ray.data.Dataset,
     query_vec: np.ndarray,

@@ -147,6 +147,50 @@ def test_ann_lsh_indexed_matches_streaming(tmp_path):
         assert got["cosine"].tolist() == want["cosine"].tolist()
 
 
+def test_ann_ivf_indexed_matches_scalar_oracle(tmp_path):
+    """The persisted IVF index must reproduce the independent scalar
+    IVF oracle exactly (same centroids bit-for-bit, same probed
+    cells), find the planted neighbor, and read only nprobe cell
+    partitions."""
+    import os
+
+    from microfts_ray.oracle_ops import ann_ivf_scalar
+    from microfts_ray.pipelines.ann import (
+        build_ann_ivf_index,
+        cosine_topk_ivf_indexed,
+    )
+
+    tbl, v = _vec_table()
+    ds = ray.data.from_arrow(tbl)
+    idx = str(tmp_path / "ivfidx")
+    meta = build_ann_ivf_index(ds, idx, n_list=8, sample_stride=3)
+    assert meta["n_list"] == 8 and os.path.exists(f"{idx}/centroids.npy")
+    cells = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert len(cells) > 2  # data spread over multiple partitions
+    for qi in (0, 10, 20):
+        got = cosine_topk_ivf_indexed(idx, v[qi], k=3, exclude_ids={qi}).to_pandas()
+        want = ann_ivf_scalar(
+            list(range(len(v))), v, v[qi],
+            k=3, n_list=8, sample_stride=3, exclude={qi},
+        )
+        assert got["vec_id"].tolist() == [w[1] for w in want]
+        assert got["cosine"].tolist() == [w[2] for w in want]
+        assert got["vec_id"].iloc[0] == qi + 1  # planted near-dup found
+
+
+def test_ann_ivf_deterministic_rebuild(tmp_path):
+    """Two builds over the same data produce identical centroids —
+    the no-RNG training contract multi-node determinism rests on."""
+    tbl, _ = _vec_table()
+    from microfts_ray.pipelines.ann import build_ann_ivf_index
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_ann_ivf_index(ray.data.from_arrow(tbl), a, n_list=8)
+    build_ann_ivf_index(ray.data.from_arrow(tbl), b, n_list=8)
+    ca, cb = np.load(f"{a}/centroids.npy"), np.load(f"{b}/centroids.npy")
+    assert (ca == cb).all()
+
+
 def test_embedding_pairs_exact_vs_bruteforce():
     from microfts_ray.pipelines.dedup import embedding_pairs_exact
 
