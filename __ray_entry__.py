@@ -345,6 +345,15 @@ def q_minhash_near_dup(sf_dir: str) -> Any:
     return minhash_lsh_pairs(_docs(sf_dir), threshold=0.4)
 
 
+def q_minhash_dedup(sf_dir: str) -> Any:
+    """Surviving doc_ids after MinHash near-dedup (component-min
+    keeps); the corpus-filter composition of minhash_near_dup."""
+    from microfts_ray.pipelines.dedup import minhash_dedup
+
+    kept = minhash_dedup(_docs(sf_dir), threshold=0.4)
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
 def q_simhash(sf_dir: str) -> Any:
     from microfts_ray.pipelines.dedup import simhash64
 
@@ -503,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": q_fuzzy_search,
         "gram_candidates": q_gram_candidates,
         "minhash_near_dup": q_minhash_near_dup,
+        "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -682,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _ops.simhash_fixture_sql(),
         "fingerprint": _ops.fingerprint_fixture_sql(),
         "minhash_near_dup": _ops.minhash_fixture_sql(),
+        "minhash_dedup": _ops.minhash_dedup_fixture_sql(),
         "bm25_topk": _ops.bm25_fixture_sql(),
         "bm25_chunk": _ops.bm25_chunk_fixture_sql(),
         "search_regexp": (

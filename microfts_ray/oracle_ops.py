@@ -272,6 +272,29 @@ def minhash_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(rows, ["a", "b", "jaccard_est"], ["BIGINT", "BIGINT", "DOUBLE"])
 
 
+def minhash_dedup_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Scalar near-dedup keep-list: scalar MinHash pairs -> scalar
+    union-find (component min wins) -> surviving doc_ids."""
+    docs = _documents(sf_dir)
+    pairs = minhash_pairs_scalar(docs, threshold=0.4)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for x, y, _e in pairs:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    drop = {x for x in parent if find(x) != x}
+    rows = [(doc_id,) for doc_id, _t in docs if doc_id not in drop]
+    rows.sort()
+    return values_sql(rows, ["doc_id"], ["BIGINT"])
+
+
 def bm25_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     top = _oracle_index(sf_dir).bm25_topk_docs("hash table merge", k=10)
     rows = [

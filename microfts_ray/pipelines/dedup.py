@@ -270,6 +270,95 @@ def minhash_lsh_pairs(
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def union_find_components(
+    a: np.ndarray, b: np.ndarray
+) -> dict[int, int]:
+    """id -> component-min-id over the pair edges (a[i], b[i]).
+    Plain union-find with path halving; runs driver-side over the
+    MATCHED pairs only (bounded by bucket caps + threshold — orders
+    of magnitude smaller than the corpus). Escalation beyond a
+    driver-sized pair list: iterative hash-to-min label propagation
+    as repeated groupby rounds."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            # union by VALUE: smaller id becomes the root, so every
+            # component's root is its minimum member
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def near_dup_filter(
+    ds: ray.data.Dataset,
+    pairs,
+    *,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Drop near-duplicate LOSERS from a corpus: given verified dup
+    pairs (a, b), keep only each connected component's minimum id and
+    every unpaired row. `pairs` is a Dataset or Arrow table with
+    int64 columns a, b. The drop-set is broadcast ONCE (ray.put of a
+    sorted id array) and each map_batches task filters with a
+    vectorized searchsorted membership test — no shuffle of the
+    corpus itself."""
+    import ray as _ray
+
+    if isinstance(pairs, ray.data.Dataset):
+        rows = pairs.select_columns(["a", "b"]).take_all()
+        a = np.array([r["a"] for r in rows], dtype=np.int64)
+        b = np.array([r["b"] for r in rows], dtype=np.int64)
+    else:
+        a = pairs["a"].to_numpy().astype(np.int64, copy=False)
+        b = pairs["b"].to_numpy().astype(np.int64, copy=False)
+    comp = union_find_components(a, b)
+    drop = np.array(
+        sorted(x for x, root in comp.items() if x != root), dtype=np.int64
+    )
+    drop_ref = _ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = _ray.get(drop_ref)
+        if d.size == 0:
+            return batch
+        ids = batch[id_col].to_numpy().astype(np.int64, copy=False)
+        pos = np.searchsorted(d, ids)
+        hit = (pos < d.size) & (d[np.minimum(pos, d.size - 1)] == ids)
+        return batch.filter(pa.array(~hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def minhash_dedup(
+    ds: ray.data.Dataset,
+    *,
+    n_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_bucket: int = 64,
+) -> ray.data.Dataset:
+    """End-to-end near-dedup a corpus: MinHash+LSH pairs, connected
+    components, keep each component's minimum doc_id. The corpus
+    streams through the final filter unchanged except for dropped
+    losers; only the (tiny) pair list is materialized driver-side."""
+    pairs = minhash_lsh_pairs(
+        ds, n_perm=n_perm, bands=bands, threshold=threshold,
+        k=k, max_bucket=max_bucket,
+    )
+    return near_dup_filter(ds, pairs)
+
+
 def simhash64(ds: ray.data.Dataset) -> ray.data.Dataset:
     """(doc_id, simhash) — 64-bit SimHash over word tokens weighted by
     tf; deterministic (blake2b token hashes)."""

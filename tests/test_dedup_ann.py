@@ -79,6 +79,42 @@ def test_ngram_jaccard_exact_values():
         assert j >= 0.3
 
 
+def test_near_dup_filter_keeps_component_min():
+    from microfts_ray.pipelines.dedup import near_dup_filter, union_find_components
+
+    # chained pairs (1-2, 2-5) and (3-4): components {1,2,5}, {3,4}
+    pairs = pa.table(
+        {"a": pa.array([1, 2, 3], pa.int64()), "b": pa.array([2, 5, 4], pa.int64())}
+    )
+    comp = union_find_components(
+        pairs["a"].to_numpy(), pairs["b"].to_numpy()
+    )
+    assert comp[5] == 1 and comp[2] == 1 and comp[4] == 3
+    ds = _doc_ds(["x"] * 7)
+    kept = near_dup_filter(ds, pairs).to_pandas()["doc_id"].tolist()
+    assert kept == [0, 1, 3, 6]
+
+
+def test_near_dup_filter_empty_pairs():
+    from microfts_ray.pipelines.dedup import near_dup_filter
+
+    pairs = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    kept = near_dup_filter(_doc_ds(["x", "y"]), pairs).to_pandas()
+    assert kept["doc_id"].tolist() == [0, 1]
+
+
+def test_minhash_dedup_end_to_end():
+    """Near-dups of doc 0 (exact dup 1, edits 2 and 5) drop; the
+    unique docs and doc 0 survive with all columns intact."""
+    from microfts_ray.pipelines.dedup import minhash_dedup
+
+    kept = minhash_dedup(_doc_ds(TEXTS), threshold=0.5).to_pandas()
+    ids = sorted(kept["doc_id"].tolist())
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert 3 in ids and 4 in ids and 6 in ids
+    assert list(kept.columns) == ["doc_id", "text"]
+
+
 def test_simhash_properties():
     out = simhash64(_doc_ds(TEXTS)).to_pandas().set_index("doc_id")["simhash"]
     assert out[0] == out[1]  # identical docs
