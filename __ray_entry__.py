@@ -345,6 +345,14 @@ def q_minhash_near_dup(sf_dir: str) -> Any:
     return minhash_lsh_pairs(_docs(sf_dir), threshold=0.4)
 
 
+def q_simhash_neardup(sf_dir: str) -> Any:
+    """SimHash near-dup pairs (hamming <= 3) via exact-recall banded
+    LSH — only band-sharing docs are ever compared."""
+    from microfts_ray.pipelines.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir))
+
+
 def q_minhash_dedup(sf_dir: str) -> Any:
     """Surviving doc_ids after MinHash near-dedup (component-min
     keeps); the corpus-filter composition of minhash_near_dup."""
@@ -514,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": q_minhash_near_dup,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_exact": q_embedding_neardup_exact,
@@ -693,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _ops.fingerprint_fixture_sql(),
         "minhash_near_dup": _ops.minhash_fixture_sql(),
         "minhash_dedup": _ops.minhash_dedup_fixture_sql(),
+        "simhash_neardup": _ops.simhash_pairs_fixture_sql(),
         "bm25_topk": _ops.bm25_fixture_sql(),
         "bm25_chunk": _ops.bm25_chunk_fixture_sql(),
         "search_regexp": (

@@ -64,6 +64,24 @@ def _bus_probe() -> float:
     return round(5 * 3 * 64 / 1024 / (time.perf_counter() - t0), 2)
 
 
+def _probe_fields() -> dict:
+    """bus_gbps + an explicit degraded-episode flag: BASELINE.md's
+    bands were recorded at probes 4.3-9.7 GB/s; a run whose probe is
+    far below that is measuring the VM's ambient collapse (observed
+    down to 0.03 GB/s), not the code, and bandwidth-bound lines
+    (warm_build, fuzzy, build throughput) scale with the probe."""
+    p = _bus_probe()
+    out = {"bus_gbps": p}
+    if p < 2.5:
+        out["degraded_episode"] = True
+        out["probe_note"] = (
+            f"bus probe {p} GB/s is below the 4.3-9.7 band conditions; "
+            "bandwidth-bound metrics in this run are episode-limited "
+            "(see BASELINE.md measurement protocol)"
+        )
+    return out
+
+
 def _init_ray():
     import ray
 
@@ -268,7 +286,7 @@ def run_suite() -> dict:
         "bm25_p50_ms": round(bm25_p50_ms, 2),
         "bm25_p50_steady_ms": round(bm25_p50_steady_ms, 2),
         "bench_corpus_files": BENCH_FILES,
-        "bus_gbps": _bus_probe(),
+        **_probe_fields(),
     }
 
 
@@ -352,7 +370,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "scaling_reps": reps,
         "bench_corpus_files": BENCH_FILES,
-        "bus_gbps": _bus_probe(),
+        **_probe_fields(),
     }
 
 

@@ -272,6 +272,28 @@ def minhash_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(rows, ["a", "b", "jaccard_est"], ["BIGINT", "BIGINT", "DOUBLE"])
 
 
+def simhash_pairs_fixture_sql(
+    sf_dir: str = ORACLE_SF_DIR, max_hamming: int = 3
+) -> str:
+    """BRUTE-FORCE all-pairs hamming over scalar simhashes — a fully
+    independent oracle: with 4 x 16-bit bands and max_hamming <= 3
+    the engine's banded LSH has exact recall (pigeonhole), so the
+    exhaustive scan must agree pair-for-pair (sf0.01 buckets are far
+    under the drop cap)."""
+    docs = _documents(sf_dir)
+    hs = [(doc_id, simhash_scalar(text)) for doc_id, text in docs]
+    rows = []
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            (a, ha), (b, hb) = hs[i], hs[j]
+            ham = bin(ha ^ hb).count("1")
+            if ham <= max_hamming:
+                lo, hi = (a, b) if a < b else (b, a)
+                rows.append((lo, hi, ham))
+    rows.sort()
+    return values_sql(rows, ["a", "b", "hamming"], ["BIGINT", "BIGINT", "BIGINT"])
+
+
 def minhash_dedup_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     """Scalar near-dedup keep-list: scalar MinHash pairs -> scalar
     union-find (component min wins) -> surviving doc_ids."""

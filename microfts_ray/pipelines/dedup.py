@@ -404,6 +404,99 @@ def simhash64(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def simhash_pairs(
+    ds: ray.data.Dataset,
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 512,
+) -> ray.data.Dataset:
+    """SimHash near-dup pairs: (a, b, hamming) with a < b and
+    hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Banded LSH over the 64-bit simhash: 4 x 16-bit bands; by the
+    pigeonhole principle any pair within hamming <= 3 shares at least
+    one identical band, so with max_hamming <= 3 recall is EXACT
+    (modulo logged over-cap bucket drops) — only pairs sharing a band
+    are ever compared, never all pairs. The shuffle moves one
+    (band-key, doc_id, simhash) row per doc per band."""
+    n_bands, band_bits = 4, 16
+    if max_hamming >= n_bands:
+        raise ValueError("max_hamming must be < 4 for exact 4-band recall")
+    sims = simhash64(ds)
+    mask = np.uint64((1 << band_bits) - 1)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64, copy=False)
+        h = batch["simhash"].to_numpy().astype(np.uint64)
+        out_key, out_id, out_h = [], [], []
+        for band in range(n_bands):
+            piece = (h >> np.uint64(band * band_bits)) & mask
+            # band salted into the key; pieces are only 16 bits so the
+            # key space is small enough to carry raw (no hash needed)
+            key = (piece.astype(np.int64) << 2) | band
+            out_key.append(key)
+            out_id.append(ids)
+            out_h.append(h)
+        return pa.table(
+            {
+                "bkey": pa.array(np.concatenate(out_key), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "simhash": pa.array(
+                    np.concatenate(out_h).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def emit(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy().astype(np.int64, copy=False)
+        h = group["simhash"].to_numpy().view(np.uint64)
+        m = ids.size
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        if m < 2:
+            return empty
+        if m > max_bucket:
+            _log_dropped_bucket(
+                "simhash_pairs", int(group["bkey"][0].as_py()), m, max_bucket
+            )
+            return empty
+        order = np.argsort(ids, kind="stable")
+        ids, h = ids[order], h[order]
+        xor = np.bitwise_xor.outer(h, h)
+        ham = _POP8[xor.view(np.uint8).reshape(m, m, 8)].sum(axis=2).astype(np.int64)
+        ii, jj = np.triu_indices(m, k=1)
+        hit = ham[ii, jj] <= max_hamming
+        keep = (ids[ii[hit]] != ids[jj[hit]])
+        return pa.table(
+            {
+                "a": pa.array(ids[ii[hit]][keep], pa.int64()),
+                "b": pa.array(ids[jj[hit]][keep], pa.int64()),
+                "hamming": pa.array(ham[ii, jj][hit][keep], pa.int64()),
+            }
+        )
+
+    pairs = sims.map_batches(band_rows, batch_format="pyarrow").groupby(
+        "bkey"
+    ).map_groups(emit, batch_format="pyarrow")
+    # dedup pairs found in multiple bands (hamming is identical)
+    from ray.data.aggregate import Min
+
+    agg = pairs.groupby(["a", "b"]).aggregate(Min("hamming"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": batch["a"], "b": batch["b"],
+             "hamming": batch["min(hamming)"].cast(pa.int64())}
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset, *, k: int = 3, threshold: float = 0.5, max_bucket: int = 256
 ) -> ray.data.Dataset:

@@ -79,6 +79,25 @@ def test_ngram_jaccard_exact_values():
         assert j >= 0.3
 
 
+def test_simhash_pairs_exact_recall_vs_bruteforce():
+    """4-band LSH at hamming <= 3 is pigeonhole-exact: pairs must
+    equal the brute-force all-pairs scan over the same simhashes."""
+    from microfts_ray.pipelines.dedup import simhash_pairs
+
+    ds = _doc_ds(TEXTS)
+    hs = simhash64(ds).to_pandas().set_index("doc_id")["simhash"]
+    want = sorted(
+        (a, b, bin(int(hs[a]) ^ int(hs[b])).count("1"))
+        for a in hs.index
+        for b in hs.index
+        if a < b and bin(int(hs[a]) ^ int(hs[b])).count("1") <= 3
+    )
+    got = simhash_pairs(_doc_ds(TEXTS)).to_pandas()
+    got_rows = sorted(zip(got["a"], got["b"], got["hamming"]))
+    assert [tuple(map(int, r)) for r in got_rows] == want
+    assert (0, 1, 0) in want  # the exact dup pair is present
+
+
 def test_near_dup_filter_keeps_component_min():
     from microfts_ray.pipelines.dedup import near_dup_filter, union_find_components
 
