@@ -258,6 +258,11 @@ def build_ann_ivf_index(
     rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: int(r["vec_id"]))
     rows = rows[:max_sample]
+    if not rows:
+        raise ValueError(
+            "IVF training sample is empty: no vec_id is divisible by "
+            f"sample_stride={sample_stride}; lower the stride"
+        )
     sample = np.array([r["embedding"] for r in rows], dtype=np.float64)
     cents = train_ivf_centroids(sample, n_list, iters)
     c_ref = ray.put(cents)
