@@ -362,6 +362,22 @@ def q_minhash_dedup(sf_dir: str) -> Any:
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
 
+def q_minhash_dedup_dist(sf_dir: str) -> Any:
+    """Same near-dedup result as minhash_dedup, produced by the FULLY
+    DISTRIBUTED path: min-label-propagation connected components
+    (pointer doubling) + anti-join corpus filter — no driver-side
+    union-find or drop-set broadcast anywhere."""
+    from microfts_ray.pipelines.dedup import (
+        minhash_lsh_pairs,
+        near_dup_filter_dist,
+    )
+
+    docs = _docs(sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.4)
+    kept = near_dup_filter_dist(_docs(sf_dir), pairs)
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
 def q_simhash(sf_dir: str) -> Any:
     from microfts_ray.pipelines.dedup import simhash64
 
@@ -521,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_candidates": q_gram_candidates,
         "minhash_near_dup": q_minhash_near_dup,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_dist": q_minhash_dedup_dist,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -702,6 +719,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _ops.fingerprint_fixture_sql(),
         "minhash_near_dup": _ops.minhash_fixture_sql(),
         "minhash_dedup": _ops.minhash_dedup_fixture_sql(),
+        "minhash_dedup_dist": _ops.minhash_dedup_fixture_sql(),
         "simhash_neardup": _ops.simhash_pairs_fixture_sql(),
         "bm25_topk": _ops.bm25_fixture_sql(),
         "bm25_chunk": _ops.bm25_chunk_fixture_sql(),

@@ -339,6 +339,270 @@ def near_dup_filter(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def _cat_blocks(sch, *tbls):
+    """Concat only real blocks; stamp the dataset schema on all-empty
+    groups so downstream consumers (joins) never see a block without
+    the expected columns. (Sort/union emit schemaless empty blocks,
+    and map_batches passes empty blocks through WITHOUT calling the
+    fn, so pass-through empties can even carry an upstream schema.)"""
+    live = [t for t in tbls if t.num_rows and t.num_columns]
+    if live:
+        return pa.concat_tables(live)
+    return sch.empty_table() if sch is not None else tbls[0]
+
+
+def _rebase(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """HARD lineage break + block coalesce + schema normalization.
+    Two accumulation modes kill iterative Dataset loops (measured:
+    same 43-row labels, round materialize 2 s -> 140 s by round 6):
+    (1) union re-executes its inputs' logical plans even when
+    materialized, so each new plan compounds every prior round;
+    (2) union concatenates block lists and sort preserves them, so
+    block count grows ~3x per round and per-block fixed costs
+    dominate. Rebuilding from (coalesced) refs fixes both; blocks
+    stay in the object store — nothing moves to the driver. The
+    coalesce target is byte-derived (~64 MB blocks, floor 8) so big
+    datasets keep their parallelism and small ones stop paying
+    per-block tax."""
+    import ray as _ray
+
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+    desired = max(8, int((mat.size_bytes() or 0) // (64 << 20)) + 1)
+    desired = min(desired, len(refs))
+    step = -(-len(refs) // desired)
+    cat = _ray.remote(num_cpus=0)(_cat_blocks)
+    grouped = [
+        cat.remote(None, *refs[i : i + step])
+        for i in range(0, len(refs), step)
+    ]
+    # metadata pass: Dataset.schema() can report a schemaless EMPTY
+    # first block as the dataset schema, and Dataset.join breaks when
+    # a side's FIRST block is empty (even schema-ful — reproduced on
+    # ray 2.49), so DROP empty groups outright; if everything is
+    # empty keep one group stamped with the real schema when any
+    # exists. The metadata RPCs move bytes-sized objects, never data.
+    meta_of = _ray.remote(num_cpus=0)(lambda t: (t.schema, t.num_rows))
+    metas = _ray.get([meta_of.remote(g) for g in grouped])
+    live = [g for g, (s, n) in zip(grouped, metas) if n > 0]
+    if live:
+        return ray.data.from_arrow_refs(live)
+    real = next((s for s, _n in metas if len(s) > 0), None)
+    if real is not None:
+        empty_of = _ray.remote(num_cpus=0)(lambda s: s.empty_table())
+        return ray.data.from_arrow_refs([empty_of.remote(real)])
+    return ray.data.from_arrow_refs(grouped[:1])
+
+
+def connected_components(
+    pairs,
+    *,
+    max_rounds: int = 50,
+    n_shards: int = 256,
+) -> ray.data.Dataset:
+    """(node, label) with label = component minimum, computed FULLY
+    DISTRIBUTED by min-label propagation — the scale path when the
+    dup-pair list exceeds driver memory (near_dup_filter's driver
+    union-find is the small-side fast path).
+
+    Each round is two groupby shuffles over the DUP GRAPH only (not
+    the corpus): propagate every node's current label across its
+    edges AND through the label table itself (pointer doubling:
+    label(x) <- label(label(x))), then take the per-node min. Shuffle
+    keys are hash shards (n_shards buckets), and per-shard work is
+    one argsort + segment mins — no Python loop over nodes. Pointer
+    doubling makes convergence O(log n) rounds regardless of
+    component diameter. A round that changes no label ends the loop;
+    exceeding max_rounds raises."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    if isinstance(pairs, ray.data.Dataset):
+        edges = _rebase(pairs.select_columns(["a", "b"]))
+    else:
+        edges = ray.data.from_arrow(pairs.select(["a", "b"]))
+
+    mask = np.int64(n_shards - 1)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().astype(np.int64, copy=False)
+        b = batch["b"].to_numpy().astype(np.int64, copy=False)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {"key": pa.array(src, pa.int64()),
+             "val": pa.array(dst, pa.int64()),
+             "is_lab": pa.array(np.zeros(src.size, np.int8), pa.int8()),
+             "shard": pa.array(src & mask, pa.int64())}
+        )
+
+    edge_rows = _rebase(edges.map_batches(sym, batch_format="pyarrow"))
+    if edge_rows.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int64())}
+            )
+        )
+
+    # initial labels: node -> min(node, min neighbor) in ONE groupby
+    def init_lab(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy().astype(np.int64, copy=False)
+        val = group["val"].to_numpy().astype(np.int64, copy=False)
+        order = np.argsort(key, kind="stable")
+        key, val = key[order], val[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        nodes = key[starts]
+        lab = np.minimum(np.minimum.reduceat(val, starts), nodes)
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()),
+             "label": pa.array(lab, pa.int64())}
+        )
+
+    labels = _rebase(
+        edge_rows.groupby("shard").map_groups(init_lab, batch_format="pyarrow")
+    )
+
+    def lab_rows(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy().astype(np.int64, copy=False)
+        return pa.table(
+            {"key": batch["node"],
+             "val": batch["label"],
+             "is_lab": pa.array(np.ones(node.size, np.int8), pa.int8()),
+             "shard": pa.array(node & mask, pa.int64())}
+        )
+
+    def propagate(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy().astype(np.int64, copy=False)
+        val = group["val"].to_numpy().astype(np.int64, copy=False)
+        is_lab = group["is_lab"].to_numpy().astype(np.int8, copy=False)
+        # label row first within each key: one argsort, then the
+        # per-key label broadcasts to that key's edge rows by repeat
+        order = np.lexsort((1 - is_lab, key))
+        key, val, is_lab = key[order], val[order], is_lab[order]
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        counts = np.diff(np.r_[starts, key.size])
+        lab = np.repeat(val[starts], counts)  # starts are label rows
+        edge = is_lab == 0
+        dst = val[edge]
+        return pa.table(
+            {"node": pa.array(dst, pa.int64()),
+             "cand": pa.array(lab[edge], pa.int64()),
+             "shard2": pa.array(dst & mask, pa.int64())}
+        )
+
+    def update(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy().astype(np.int64, copy=False)
+        val = group["val"].to_numpy().astype(np.int64, copy=False)
+        is_old = group["is_old"].to_numpy().astype(np.int8, copy=False)
+        order = np.lexsort((1 - is_old, node))
+        node, val, is_old = node[order], val[order], is_old[order]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        nodes = node[starts]
+        old = val[starts]  # old-label row sorts first per node
+        new = np.minimum.reduceat(val, starts)
+        return pa.table(
+            {"node": pa.array(nodes, pa.int64()),
+             "label": pa.array(new, pa.int64()),
+             "changed": pa.array((new < old).astype(np.int64), pa.int64())}
+        )
+
+    def dbl_rows(batch: pa.Table) -> pa.Table:
+        # pointer-doubling requests: node x asks key=label(x) for ITS
+        # label, so label(x) <- label(label(x)) each round — this is
+        # what turns convergence from O(diameter) into O(log n)
+        lab = batch["label"].to_numpy().astype(np.int64, copy=False)
+        return pa.table(
+            {"key": batch["label"],
+             "val": batch["node"],
+             "is_lab": pa.array(np.zeros(lab.size, np.int8), pa.int8()),
+             "shard": pa.array(lab & mask, pa.int64())}
+        )
+
+    for _round in range(max_rounds):
+        lab_tagged = labels.map_batches(lab_rows, batch_format="pyarrow")
+        props = (
+            edge_rows.union(
+                lab_tagged,
+                labels.map_batches(dbl_rows, batch_format="pyarrow"),
+            )
+            .groupby("shard")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+
+        def old_rows(batch: pa.Table) -> pa.Table:
+            node = batch["node"].to_numpy().astype(np.int64, copy=False)
+            return pa.table(
+                {"node": batch["node"], "val": batch["label"],
+                 "is_old": pa.array(np.ones(node.size, np.int8), pa.int8()),
+                 "shard2": pa.array(node & mask, pa.int64())}
+            )
+
+        def cand_rows(batch: pa.Table) -> pa.Table:
+            node = batch["node"].to_numpy().astype(np.int64, copy=False)
+            return pa.table(
+                {"node": batch["node"], "val": batch["cand"],
+                 "is_old": pa.array(np.zeros(node.size, np.int8), pa.int8()),
+                 "shard2": batch["shard2"]}
+            )
+
+        merged = _rebase(
+            labels.map_batches(old_rows, batch_format="pyarrow")
+            .union(props.map_batches(cand_rows, batch_format="pyarrow"))
+            .groupby("shard2")
+            .map_groups(update, batch_format="pyarrow")
+        )
+        n_changed = merged.aggregate(Sum("changed")).get("sum(changed)") or 0
+        labels = _rebase(merged.select_columns(["node", "label"]))
+        if not n_changed:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        "(pathological chain graph? raise max_rounds)"
+    )
+
+
+def near_dup_filter_dist(
+    ds: ray.data.Dataset,
+    pairs,
+    *,
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Fully distributed near-dedup filter: distributed connected
+    components over the pair graph, then an ANTI-JOIN (left_outer +
+    null filter) of the corpus against the loser set — no driver
+    materialization anywhere, for when pair lists or drop-sets exceed
+    one machine. Same result as near_dup_filter."""
+    labels = connected_components(pairs)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy().astype(np.int64, copy=False)
+        lab = batch["label"].to_numpy().astype(np.int64, copy=False)
+        keep = node != lab
+        return pa.table(
+            {id_col: pa.array(node[keep], pa.int64()),
+             "_drop": pa.array(np.ones(int(keep.sum()), np.int8), pa.int8())}
+        )
+
+    # _rebase: empty label blocks pass through map_batches WITHOUT
+    # the fn running, keeping the (node, label) schema — the join's
+    # right side must be uniformly (doc_id, _drop)
+    drop = _rebase(labels.map_batches(losers, batch_format="pyarrow"))
+    joined = ds.join(
+        drop, "left_outer", num_partitions, on=(id_col,),
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_null(batch["_drop"])).drop_columns(["_drop"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
 def minhash_dedup(
     ds: ray.data.Dataset,
     *,

@@ -122,6 +122,56 @@ def test_near_dup_filter_empty_pairs():
     assert kept["doc_id"].tolist() == [0, 1]
 
 
+def test_connected_components_matches_union_find():
+    """Distributed min-label propagation == driver union-find on a
+    random pair graph (chains, stars, singleton-free)."""
+    from microfts_ray.pipelines.dedup import (
+        connected_components,
+        union_find_components,
+    )
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 60, size=40).astype(np.int64)
+    b = rng.integers(0, 60, size=40).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    pairs = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    want = union_find_components(a, b)
+    got = connected_components(pairs).to_pandas().set_index("node")["label"]
+    nodes = sorted(set(a.tolist()) | set(b.tolist()))
+    assert sorted(got.index.tolist()) == nodes
+    for n in nodes:
+        assert int(got[n]) == want.get(n, n), n
+
+
+def test_connected_components_chain_converges():
+    """A long chain exercises multi-round convergence (diameter 12)."""
+    from microfts_ray.pipelines.dedup import connected_components
+
+    n = 13
+    pairs = pa.table(
+        {"a": pa.array(list(range(n - 1)), pa.int64()),
+         "b": pa.array(list(range(1, n)), pa.int64())}
+    )
+    got = connected_components(pairs).to_pandas()
+    assert (got["label"] == 0).all() and len(got) == n
+
+
+def test_near_dup_filter_dist_matches_driver_filter():
+    from microfts_ray.pipelines.dedup import near_dup_filter, near_dup_filter_dist
+
+    pairs = pa.table(
+        {"a": pa.array([1, 2, 3], pa.int64()), "b": pa.array([2, 5, 4], pa.int64())}
+    )
+    ds = _doc_ds(["x"] * 7)
+    kept_driver = sorted(near_dup_filter(ds, pairs).to_pandas()["doc_id"])
+    kept_dist = sorted(
+        near_dup_filter_dist(_doc_ds(["x"] * 7), pairs, num_partitions=4)
+        .to_pandas()["doc_id"]
+    )
+    assert kept_dist == kept_driver == [0, 1, 3, 6]
+
+
 def test_minhash_dedup_end_to_end():
     """Near-dups of doc 0 (exact dup 1, edits 2 and 5) drop; the
     unique docs and doc 0 survive with all columns intact."""
