@@ -353,6 +353,15 @@ def q_simhash_neardup(sf_dir: str) -> Any:
     return simhash_pairs(_docs(sf_dir))
 
 
+def q_exact_dedup_filter(sf_dir: str) -> Any:
+    """Surviving doc_ids after exact dedup (first per content hash):
+    slim-column hash groupby + inner-join corpus filter."""
+    from microfts_ray.pipelines.dedup import exact_dedup_filter
+
+    kept = exact_dedup_filter(_docs(sf_dir))
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
 def q_minhash_dedup(sf_dir: str) -> Any:
     """Surviving doc_ids after MinHash near-dedup (component-min
     keeps); the corpus-filter composition of minhash_near_dup."""
@@ -536,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": q_fuzzy_search,
         "gram_candidates": q_gram_candidates,
         "minhash_near_dup": q_minhash_near_dup,
+        "exact_dedup_filter": q_exact_dedup_filter,
         "minhash_dedup": q_minhash_dedup,
         "minhash_dedup_dist": q_minhash_dedup_dist,
         "simhash": q_simhash,
@@ -672,6 +682,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count "
             "FROM documents GROUP BY 1 ORDER BY h"
+        ),
+        "exact_dedup_filter": (
+            "SELECT doc_id FROM documents WHERE doc_id IN ("
+            "SELECT min(doc_id) FROM documents GROUP BY md5(text)) "
+            "ORDER BY doc_id"
         ),
         "lang_count": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang",
         "pricing_summary": (

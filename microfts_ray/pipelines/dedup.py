@@ -77,6 +77,26 @@ def exact_dedup(ds: ray.data.Dataset, key: str = "text") -> ray.data.Dataset:
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def exact_dedup_filter(
+    ds: ray.data.Dataset,
+    key: str = "text",
+    *,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """The corpus with exact duplicates removed (first doc_id per
+    content hash kept). The heavy side never shuffles text: the
+    keep-set comes from exact_dedup's combiner groupby over (hash,
+    doc_id) partials, and the corpus is filtered by an INNER join on
+    doc_id — both sides of every shuffle are slim columns."""
+    keeps = exact_dedup(ds, key)
+
+    def keep_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["keep_id"].cast(pa.int64())})
+
+    keep_ds = _rebase(keeps.map_batches(keep_ids, batch_format="pyarrow"))
+    return ds.join(keep_ds, "inner", num_partitions, on=("doc_id",))
+
+
 def _shingle_hashes(text: str, k: int = 3, memo: dict | None = None) -> np.ndarray:
     """64-bit blake2b hashes of the DISTINCT word k-gram shingles
     (deterministic). Both consumers are set-based (minhash takes a

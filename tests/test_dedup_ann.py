@@ -79,6 +79,19 @@ def test_ngram_jaccard_exact_values():
         assert j >= 0.3
 
 
+def test_exact_dedup_filter_drops_losers():
+    from microfts_ray.pipelines.dedup import exact_dedup_filter
+
+    kept = (
+        exact_dedup_filter(_doc_ds(TEXTS), num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # TEXTS[1] is an exact dup of TEXTS[0]; everything else is unique
+    assert kept["doc_id"].tolist() == [0, 2, 3, 4, 5, 6]
+    assert list(kept.columns) == ["doc_id", "text"]
+
+
 def test_simhash_pairs_exact_recall_vs_bruteforce():
     """4-band LSH at hamming <= 3 is pigeonhole-exact: pairs must
     equal the brute-force all-pairs scan over the same simhashes."""
