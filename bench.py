@@ -221,6 +221,7 @@ def run_suite() -> dict:
     # as rounds 1-2 and the --scaling legs
     b0 = timed_build()
     queries["index_build"] = round(b0["build_segments_sec"], 3)
+    stage_probes_early = {"after_build": _bus_probe()}
     queries["index_merge"] = round(b0["merge_sec"], 3)
     files_per_sec = b0["files_per_sec"]
 
@@ -245,6 +246,11 @@ def run_suite() -> dict:
         concurrency=NUM_CPUS, emit_warm=True, warm_inline=True,
     )
     queries["warm_build"] = round(time.perf_counter() - t0, 3)
+    # stage-adjacent probe: the ambient episode flips WITHIN a run
+    # (observed: build in band at 32.8k files/s while warm_build in
+    # the same run crawled at a collapsed bus) — a probe right after
+    # each big bandwidth-bound stage makes the line self-describing
+    stage_probes = dict(stage_probes_early, after_warm_build=_bus_probe())
     shutil.rmtree(b0["index_dir"], ignore_errors=True)
 
     from microfts_ray.pipelines.query import IndexReader
@@ -260,6 +266,7 @@ def run_suite() -> dict:
         reader.bm25_topk(q, k=10)
         lat.append(time.perf_counter() - tq)
     queries["bm25_20q"] = round(time.perf_counter() - t0, 3)
+    stage_probes["after_bm25_20q"] = _bus_probe()
     bm25_p50_ms = statistics.median(lat) * 1000
     # steady state: same set again with every cache hot — the number
     # a long-lived serving process actually exhibits
@@ -320,6 +327,7 @@ def run_suite() -> dict:
         "bm25_p50_ms": round(bm25_p50_ms, 2),
         "bm25_p50_steady_ms": round(bm25_p50_steady_ms, 2),
         "bench_corpus_files": BENCH_FILES,
+        "stage_probes_gbps": stage_probes,
         **_probe_fields(),
     }
 
