@@ -264,6 +264,32 @@ def q_events_prev_id(sf_dir: str) -> Any:
     return events_prev_id(_table(sf_dir, "events", ["user_id", "event_id", "ts"]))
 
 
+def q_purchase_asof_view(sf_dir: str) -> Any:
+    """True two-stream AS-OF JOIN (attribution): each 'purchase'
+    event paired with the same user's most recent 'view' event at or
+    before it (greatest ts <= purchase ts; ties by greatest
+    event_id); null when the user never viewed before buying."""
+    import pyarrow.compute as pc
+
+    from microfts_ray.pipelines.relational import asof_prev
+
+    ev = _table(sf_dir, "events")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    views = ev.filter(expr="event_type == 'view'")
+    out = asof_prev(
+        purchases, views,
+        left_key="user_id", left_ts="ts", left_id="event_id",
+        right_key="user_id", right_ts="ts", right_id="event_id",
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"purchase_id": b["left_id"], "view_id": b["prev_right_id"]}
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow").sort("purchase_id")
+
+
 def q_ann_topk(sf_dir: str) -> pa.Table:
     from microfts_ray.pipelines.ann import cosine_topk
 
@@ -537,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q_events_by_type,
         "events_hourly": q_events_hourly,
         "events_prev_id": q_events_prev_id,
+        "purchase_asof_view": q_purchase_asof_view,
         "ann_topk": q_ann_topk,
         # rows-only (non-SQL-expressible engine ops)
         "bm25_topk": q_bm25_topk,
@@ -715,6 +742,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, lag(event_id) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id "
             "FROM events ORDER BY user_id, event_id"
+        ),
+        "purchase_asof_view": (
+            "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+            "v AS (SELECT * FROM events WHERE event_type = 'view'), "
+            "cand AS (SELECT p.event_id AS pid, v.event_id AS vid, "
+            "row_number() OVER (PARTITION BY p.event_id "
+            "ORDER BY v.ts DESC, v.event_id DESC) AS rn "
+            "FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts) "
+            "SELECT p.event_id AS purchase_id, c.vid AS view_id "
+            "FROM p LEFT JOIN cand c ON c.pid = p.event_id AND c.rn = 1 "
+            "ORDER BY purchase_id"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "

@@ -232,6 +232,100 @@ def events_prev_id(events: ray.data.Dataset) -> ray.data.Dataset:
     return events.groupby("user_id").map_groups(lag, batch_format="pyarrow")
 
 
+def asof_prev(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_key: str,
+    left_ts: str,
+    left_id: str,
+    right_key: str,
+    right_ts: str,
+    right_id: str,
+    n_shards: int = 256,
+) -> ray.data.Dataset:
+    """Backward-inclusive AS-OF JOIN between two tables: for each
+    left row, the right row of the same key with the greatest
+    right_ts <= left_ts (ties on ts broken by greatest right_id, so
+    the result is deterministic). Output: (left_id, prev_<right_id>),
+    null where no right row qualifies.
+
+    Ray-Data-first: both sides are tagged into one slim row stream
+    (key, ts, id, side), shuffled ONCE by key hash shard, and each
+    shard is matched with a single lexsort + a segment-reset
+    maximum.accumulate — no per-key Python loop, no driver state.
+    Timestamps compare as int64 microseconds."""
+    mask = np.int64(n_shards - 1)
+
+    def _ts64(col) -> np.ndarray:
+        arr = col.to_numpy()
+        if arr.dtype.kind == "M":
+            arr = arr.astype("datetime64[us]").view(np.int64)
+        return arr.astype(np.int64, copy=False)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        k = b[left_key].to_numpy().astype(np.int64, copy=False)
+        return pa.table(
+            {"k": pa.array(k, pa.int64()),
+             "ts": pa.array(_ts64(b[left_ts]), pa.int64()),
+             "rid": pa.array(np.zeros(k.size, np.int64), pa.int64()),
+             "lid": b[left_id].cast(pa.int64()),
+             "side": pa.array(np.ones(k.size, np.int8), pa.int8()),
+             "shard": pa.array(k & mask, pa.int64())}
+        )
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        k = b[right_key].to_numpy().astype(np.int64, copy=False)
+        return pa.table(
+            {"k": pa.array(k, pa.int64()),
+             "ts": pa.array(_ts64(b[right_ts]), pa.int64()),
+             "rid": b[right_id].cast(pa.int64()),
+             "lid": pa.array(np.zeros(k.size, np.int64), pa.int64()),
+             "side": pa.array(np.zeros(k.size, np.int8), pa.int8()),
+             "shard": pa.array(k & mask, pa.int64())}
+        )
+
+    rows = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def match(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy().astype(np.int64, copy=False)
+        ts = group["ts"].to_numpy().astype(np.int64, copy=False)
+        rid = group["rid"].to_numpy().astype(np.int64, copy=False)
+        lid = group["lid"].to_numpy().astype(np.int64, copy=False)
+        side = group["side"].to_numpy().astype(np.int8, copy=False)
+        # sort: key, then ts, then right-before-left at equal ts
+        # (backward INCLUSIVE), rights at equal ts by rid ascending so
+        # the accumulate lands on the greatest rid
+        order = np.lexsort((rid, side, ts, k))
+        k, ts, rid, lid, side = (
+            k[order], ts[order], rid[order], lid[order], side[order]
+        )
+        n = k.size
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        seg_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        r = np.where(side == 0, np.arange(n), -1)
+        acc = np.maximum.accumulate(r)
+        is_left = side == 1
+        # a match leaked from the previous key sorts before this key's
+        # segment start — invalid by the seg_start comparison
+        valid = is_left & (acc >= seg_start)
+        out_lid = lid[is_left]
+        prev = np.full(out_lid.size, -1, dtype=np.int64)
+        prev[valid[is_left]] = rid[acc[is_left][valid[is_left]]]
+        return pa.table(
+            {
+                "left_id": pa.array(out_lid, pa.int64()),
+                "prev_right_id": pa.array(
+                    np.maximum(prev, 0), pa.int64(), mask=prev < 0
+                ),
+            }
+        )
+
+    return rows.groupby("shard").map_groups(match, batch_format="pyarrow")
+
+
 def lang_count(documents: ray.data.Dataset) -> ray.data.Dataset:
     agg = (
         documents.map_batches(_combine(["lang"], "lang"), batch_format="pyarrow")

@@ -88,3 +88,39 @@ def test_fingerprint_deterministic():
     assert (a == b).all()
     assert a[4] == 0
     assert a[0] != a[1]
+
+
+def test_asof_prev_backward_inclusive():
+    """asof_prev: greatest right ts <= left ts per key, ties by
+    greatest right id, null when nothing qualifies; equal-ts rows ARE
+    eligible (backward inclusive)."""
+    from microfts_ray.pipelines.relational import asof_prev
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+             "lts": pa.array([10, 20, 5, 10, 10], pa.int64()),
+             "lid": pa.array([100, 101, 102, 103, 104], pa.int64())}
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+             "rts": pa.array([10, 10, 15, 30, 50], pa.int64()),
+             "rid": pa.array([7, 9, 8, 6, 5], pa.int64())}
+        )
+    )
+    out = (
+        asof_prev(
+            left, right,
+            left_key="k", left_ts="lts", left_id="lid",
+            right_key="k", right_ts="rts", right_id="rid",
+        )
+        .to_pandas()
+        .set_index("left_id")["prev_right_id"]
+    )
+    assert out[100] == 9  # ts=10 tie -> greatest rid of {7,9}
+    assert out[101] == 8  # greatest ts<=20 is 15
+    assert out.isna()[102]  # nothing <= 5
+    assert out.isna()[103]  # right ts 50 > 10
+    assert out.isna()[104]  # key 3 has no right rows
