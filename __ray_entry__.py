@@ -269,8 +269,6 @@ def q_purchase_asof_view(sf_dir: str) -> Any:
     event paired with the same user's most recent 'view' event at or
     before it (greatest ts <= purchase ts; ties by greatest
     event_id); null when the user never viewed before buying."""
-    import pyarrow.compute as pc
-
     from microfts_ray.pipelines.relational import asof_prev
 
     ev = _table(sf_dir, "events")
