@@ -466,6 +466,20 @@ def q_media_features(sf_dir: str) -> Any:
     return media_features(decode_media(ds, concurrency=2, batch_size=16))
 
 
+def q_frame_plan(sf_dir: str) -> Any:
+    """Video frame-sampling plan over the deterministic synthetic
+    media table: one row per planned (media_id, ts_ms) frame."""
+    import ray.data as rd
+
+    from microfts_ray.pipelines.multimodal import (
+        frame_sample_plan,
+        synthesize_media,
+    )
+
+    ds = rd.from_arrow(synthesize_media(60))
+    return frame_sample_plan(ds, every_ms=1000).sort(["media_id", "ts_ms"])
+
+
 def q_lang_id(sf_dir: str) -> Any:
     from microfts_ray.pipelines.textstats import lang_id
 
@@ -580,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "lang_id": q_lang_id,
         "media_features": q_media_features,
+        "frame_plan": q_frame_plan,
         "fingerprint": q_fingerprint,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -761,6 +776,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": _LANG_ID_SQL,
         "media_features": _ops.media_features_fixture_sql(),
+        "frame_plan": _ops.frame_plan_fixture_sql(),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         # engine-specific operators: fixture oracles — an INDEPENDENT
         # scalar recomputation (original per-row bigint/blake2b

@@ -530,6 +530,22 @@ def ann_ivf_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(rows, ["rank", "vec_id", "cosine"], ["BIGINT", "BIGINT", "DOUBLE"])
 
 
+def frame_plan_fixture_sql(n: int = 60, every_ms: int = 1000) -> str:
+    """Scalar recomputation of the video frame-sampling plan over the
+    deterministic synthetic media table: one row per (video, t) for
+    t in range(0, duration_ms, every_ms)."""
+    from .pipelines.multimodal import synthesize_media
+
+    rows = []
+    for r in synthesize_media(n).to_pylist():
+        if r["kind"] != "video" or r["duration_ms"] <= 0:
+            continue
+        for t in range(0, r["duration_ms"], every_ms):
+            rows.append((r["media_id"], t))
+    rows.sort()
+    return values_sql(rows, ["media_id", "ts_ms"], ["BIGINT", "BIGINT"])
+
+
 def ann_lsh_fixture_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     ids = t["vec_id"].to_pylist()
