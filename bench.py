@@ -105,13 +105,19 @@ def _probe_fields() -> dict:
     p = _bus_probe()
     p4 = _bus4_probe()
     out = {"bus_gbps": p, "bus4_gbps": p4}
-    if p < 2.5 or p4 < 3.0:
+    tripped = []
+    if p < 2.5:
+        tripped.append(
+            f"single-stream {p} GB/s < 2.5 (band conditions 4.3-9.7)"
+        )
+    if p4 < 3.0:
+        tripped.append(f"4-proc aggregate {p4} GB/s < 3.0 (band ~6+)")
+    if tripped:
         out["degraded_episode"] = True
         out["probe_note"] = (
-            f"probes {p} GB/s single-stream / {p4} GB/s 4-proc aggregate "
-            "are below the band conditions (4.3-9.7 single, ~6+ "
-            "aggregate); bandwidth-bound metrics in this run are "
-            "episode-limited (see BASELINE.md measurement protocol)"
+            "degraded probe(s): " + "; ".join(tripped) + " — "
+            "bandwidth-bound metrics in this run are episode-limited "
+            "(see BASELINE.md measurement protocol)"
         )
     return out
 
@@ -372,6 +378,7 @@ def run_scaling() -> dict:
     reps = int(os.environ.get("SCALING_REPS", "3"))
     thr: dict[int, list[float]] = {lo: [], hi: []}
     secs: dict[int, list[float]] = {lo: [], hi: []}
+    leg_probes: dict[str, list[float]] = {str(lo): [], str(hi): []}
     for _r in range(reps):
         for n in (lo, hi):
             _prime_corpus(paths)
@@ -394,6 +401,11 @@ def run_scaling() -> dict:
             rec = json.loads(line)
             thr[n].append(rec["build_files_per_sec"])
             secs[n].append(rec["value"])
+            # per-leg stage-adjacent probe: the episode flips WITHIN a
+            # scaling run, so each leg records the ambient bandwidth
+            # it actually executed under (r3 verdict asked for
+            # self-describing scaling runs)
+            leg_probes[str(n)].append(_bus_probe())
     med_lo = statistics.median(thr[lo])
     med_hi = statistics.median(thr[hi])
     eff = med_hi / (med_lo * (hi / lo))
@@ -412,6 +424,7 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "scaling_reps": reps,
         "bench_corpus_files": BENCH_FILES,
+        "leg_probes_gbps": leg_probes,
         **_probe_fields(),
     }
 

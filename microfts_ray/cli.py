@@ -82,6 +82,23 @@ def go_printf(fmt: str, args: tuple) -> str:
 
 def _print_hits(hits: list[dict], args, reader=None) -> bool:
     fmt = getattr(args, "format", None)
+    # group wrappers (-start-format / -end-format): printed around
+    # each FILE group's matches, printf arg = the group name
+    # (fts-lmdb.go:1258-1262; flags fulltext.go:333-342). Defaults are
+    # "" (invisible). Not used with -fuzzy -sort — that mode sorts
+    # matches across files (fulltext.go:326 help text).
+    start_fmt = getattr(args, "start_format", "") or ""
+    end_fmt = getattr(args, "end_format", "") or ""
+    if getattr(args, "fuzzy", 0) and getattr(args, "sort", False):
+        start_fmt = end_fmt = ""
+    if args.sexp:
+        # reference quirk preserved: -sexp leaves start-format at ""
+        # (sexpGroupStart == "") and sets end-format to "\n" only when
+        # cfg.format == "" — fts-lmdb.go:194-199 compares cfg.format
+        # (not cfg.endFormat) against groupEnd, so the sexp group-end
+        # default only kicks in when the user passed -format ""
+        if getattr(args, "format", None) == "" and not end_fmt:
+            end_fmt = "\n"
     if fmt and reader is not None and hits:
         # POSITION needs full doc contents: prefetch them in ONE bulk
         # read (chunk_start alone would fetch one doc per hit)
@@ -91,8 +108,15 @@ def _print_hits(hits: list[dict], args, reader=None) -> bool:
             np.array([h["doc_id"] for h in hits], np.uint64),
             np.array([h["chunk_id"] for h in hits], np.uint64),
         )
+    prev_group: str | None = None
     for h in hits:
         fname = h["group"]
+        if fname != prev_group:
+            if prev_group is not None and end_fmt:
+                print(go_printf(end_fmt, (prev_group,)), end="")
+            if start_fmt:
+                print(go_printf(start_fmt, (fname,)), end="")
+            prev_group = fname
         if fmt:
             start = (
                 reader.chunk_start(h["doc_id"], h["chunk_id"]) if reader else 0
@@ -119,6 +143,8 @@ def _print_hits(hits: list[dict], args, reader=None) -> bool:
             print(f"{fname}:{h['line']}")
         else:
             print(f"{fname}:{h['line']}:{h['text']}")
+    if prev_group is not None and end_fmt:
+        print(go_printf(end_fmt, (prev_group,)), end="")
     if args.sexp and hits:
         print()
     return bool(hits)
@@ -156,6 +182,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("-candidates", action="store_true", help="raw candidates, no verify")
     sp.add_argument("-format", default=None,
                     help="Go printf format; args: POSITION LINE OFFSET PERCENT TEXT FILE")
+    sp.add_argument("-start-format", dest="start_format", default="",
+                    help="Go printf format printed before each file "
+                    "group's matches (arg: FILE); default \"\"; not "
+                    "used with -fuzzy -sort")
+    sp.add_argument("-end-format", dest="end_format", default="",
+                    help="Go printf format printed after each file "
+                    "group's matches (arg: FILE); default \"\"; not "
+                    "used with -fuzzy -sort")
     sp.add_argument("-u", action="store_true",
                     help="update the index from its recorded inputs before searching")
 

@@ -24,7 +24,25 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from .oracle import OracleIndex
-from .pipelines.textstats import word_tokens
+
+
+def word_tokens(text: str) -> list[str]:
+    """INDEPENDENT re-derivation of the engine's word tokenization
+    (lowercase, maximal [0-9a-z]+ runs) as a plain character loop —
+    deliberately shares no code with textstats.word_tokens (regex
+    split), so a tokenizer bug there cannot self-confirm through the
+    token-based fixtures (r3 verdict's independence caveat)."""
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in text.lower():
+        if ("0" <= ch <= "9") or ("a" <= ch <= "z"):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
 
 ORACLE_SF_DIR = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
@@ -234,7 +252,14 @@ def _oracle_index(sf_dir: str) -> OracleIndex:
     test — build/query — is independently recomputed by oracle.py)."""
     idx = _oracle_index_cache.get(sf_dir)
     if idx is None:
-        from .pipelines.docsearch import doc_key_to_id
+        # independent restatement of docsearch.doc_key_to_id (the
+        # input-identity contract both sides must agree on):
+        # path "doc_<id>", commit sha1("doc:<id>")
+        def doc_key_to_id(doc_id: int) -> tuple[str, str]:
+            return (
+                f"doc_{doc_id}",
+                hashlib.sha1(f"doc:{doc_id}".encode()).hexdigest(),
+            )
 
         t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
         rows = []

@@ -105,7 +105,8 @@ def build_ann_lsh_index(
     probe buckets (cosine_topk_lsh_indexed) instead of re-deriving
     every row's signature per query — the build-once /
     query-touches-k-buckets shape that scales to corpora where a full
-    signature scan per query is unaffordable."""
+    signature scan per query is unaffordable. Crash-safe: built in a
+    temp dir and renamed into place (see _atomic_index_dir)."""
     import json
     import os
 
@@ -122,13 +123,14 @@ def build_ann_lsh_index(
         sig = (bits.astype(np.int64) << np.arange(pl.shape[1])).sum(axis=1)
         return batch.append_column("bucket", pa.array(sig, pa.int32()))
 
-    ds.map_batches(sign, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["bucket"]
-    )
-    np.save(os.path.join(index_dir, "planes.npy"), planes)
-    meta = {"n_planes": n_planes, "seed": seed, "dim": d}
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    with _atomic_index_dir(index_dir) as tmp:
+        ds.map_batches(sign, batch_format="pyarrow").write_parquet(
+            tmp, partition_cols=["bucket"]
+        )
+        np.save(os.path.join(tmp, "planes.npy"), planes)
+        meta = {"n_planes": n_planes, "seed": seed, "dim": d}
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
     return meta
 
 
@@ -227,6 +229,86 @@ def train_ivf_centroids(
     return cents
 
 
+def _ivf_sample(
+    ds: ray.data.Dataset, sample_stride: int, max_sample: int
+) -> tuple[np.ndarray, int]:
+    """Deterministic bounded training sample: the max_sample SMALLEST
+    vec_ids among multiples of sample_stride, as a (m, d) float64
+    matrix in vec_id order. Bounded at every tier: each batch keeps at
+    most max_sample locally-smallest candidates, the stream reaches
+    the driver through iter_batches (backpressure, no take_all), and
+    the driver folds batches into one running top-max_sample buffer —
+    peak driver memory is O(max_sample + one batch) at ANY corpus
+    size. Returns (sample, peak_driver_rows) so tests can assert the
+    bound."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy().astype(np.int64, copy=False)
+        keep = (ids % sample_stride) == 0
+        sub = batch.select(["vec_id", "embedding"]).filter(pa.array(keep))
+        if sub.num_rows > max_sample:  # local pre-truncate
+            order = np.argsort(
+                sub["vec_id"].to_numpy().astype(np.int64, copy=False),
+                kind="stable",
+            )[:max_sample]
+            sub = sub.take(order)
+        return sub
+
+    best_ids = np.empty(0, dtype=np.int64)
+    best_embs: np.ndarray | None = None
+    peak = 0
+    for batch in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        if batch.num_rows == 0:
+            continue
+        ids = batch["vec_id"].to_numpy().astype(np.int64, copy=False)
+        embs = _as_matrix(batch["embedding"])
+        if best_embs is None:
+            cat_ids, cat_embs = ids, embs
+        else:
+            cat_ids = np.concatenate([best_ids, ids])
+            cat_embs = np.vstack([best_embs, embs])
+        peak = max(peak, cat_ids.size)
+        order = np.argsort(cat_ids, kind="stable")[:max_sample]
+        best_ids, best_embs = cat_ids[order], cat_embs[order]
+    if best_embs is None:
+        raise ValueError(
+            "IVF training sample is empty: no vec_id is divisible by "
+            f"sample_stride={sample_stride}; lower the stride"
+        )
+    return best_embs.astype(np.float64, copy=False), peak
+
+
+def _atomic_index_dir(index_dir: str):
+    """Context for crash-safe partitioned-index builds: yields a temp
+    sibling dir to build into; on success the previous index_dir (if
+    any) is removed and the temp dir renamed into place in one step —
+    a crash mid-build leaves only a .tmp- dir (ignored by readers),
+    never partial cell/bucket partitions that a retry would append
+    duplicate rows next to (meta.json is written LAST inside the temp
+    dir, so its presence still implies a complete build)."""
+    import contextlib
+    import os
+    import shutil
+    import uuid
+
+    @contextlib.contextmanager
+    def cm():
+        tmp = os.path.join(
+            os.path.dirname(os.path.abspath(index_dir)) or ".",
+            f".{os.path.basename(index_dir)}.tmp-{uuid.uuid4().hex[:8]}",
+        )
+        try:
+            yield tmp
+            shutil.rmtree(index_dir, ignore_errors=True)
+            os.replace(tmp, index_dir)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    return cm()
+
+
 def build_ann_ivf_index(
     ds: ray.data.Dataset,
     index_dir: str,
@@ -240,30 +322,21 @@ def build_ann_ivf_index(
     to its nearest spherical-k-means centroid and write it under that
     cell's partition (`<index>/cell=<j>/*.parquet`); a query then
     scans only its `nprobe` nearest cells. Centroids are trained
-    DRIVER-SIDE on a deterministic sample (vec_id % sample_stride == 0,
-    capped at max_sample rows in vec_id order) — at 100 TB the sample
-    stays O(n_list * 1000) rows regardless of corpus size while
-    assignment + the partitioned write stream through map_batches at
-    full width. Complements the LSH index (hyperplane buckets): IVF
-    cells adapt to the data distribution, so cell populations stay
-    balanced when embeddings cluster."""
+    DRIVER-SIDE on a deterministic sample (the max_sample smallest
+    vec_ids among multiples of sample_stride) folded incrementally
+    from an iter_batches stream — the driver never holds more than
+    max_sample + one batch of rows at ANY corpus size (see
+    _ivf_sample), while assignment + the partitioned write stream
+    through map_batches at full width. The build is crash-safe: it
+    lands in a temp dir and renames into place, so a died build can
+    never leave partial cell partitions that a retry would duplicate.
+    Complements the LSH index (hyperplane buckets): IVF cells adapt
+    to the data distribution, so cell populations stay balanced when
+    embeddings cluster."""
     import json
     import os
 
-    def pick(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy().astype(np.int64, copy=False)
-        keep = (ids % sample_stride) == 0
-        return batch.select(["vec_id", "embedding"]).filter(pa.array(keep))
-
-    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: int(r["vec_id"]))
-    rows = rows[:max_sample]
-    if not rows:
-        raise ValueError(
-            "IVF training sample is empty: no vec_id is divisible by "
-            f"sample_stride={sample_stride}; lower the stride"
-        )
-    sample = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    sample, _peak = _ivf_sample(ds, sample_stride, max_sample)
     cents = train_ivf_centroids(sample, n_list, iters)
     c_ref = ray.put(cents)
 
@@ -275,19 +348,20 @@ def build_ann_ivf_index(
         cell = np.argmax((embs / norms[:, None]) @ c.T, axis=1)
         return batch.append_column("cell", pa.array(cell, pa.int32()))
 
-    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        index_dir, partition_cols=["cell"]
-    )
-    np.save(os.path.join(index_dir, "centroids.npy"), cents)
-    meta = {
-        "n_list": int(cents.shape[0]),
-        "iters": iters,
-        "sample_stride": sample_stride,
-        "max_sample": max_sample,
-        "dim": int(cents.shape[1]),
-    }
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    with _atomic_index_dir(index_dir) as tmp:
+        ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+            tmp, partition_cols=["cell"]
+        )
+        np.save(os.path.join(tmp, "centroids.npy"), cents)
+        meta = {
+            "n_list": int(cents.shape[0]),
+            "iters": iters,
+            "sample_stride": sample_stride,
+            "max_sample": max_sample,
+            "dim": int(cents.shape[1]),
+        }
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
     return meta
 
 

@@ -94,7 +94,12 @@ def exact_dedup_filter(
         return pa.table({"doc_id": batch["keep_id"].cast(pa.int64())})
 
     keep_ds = _rebase(keeps.map_batches(keep_ids, batch_format="pyarrow"))
-    return ds.join(keep_ds, "inner", num_partitions, on=("doc_id",))
+    # the corpus side must ALSO be guarded: Dataset.join crashes when
+    # EITHER side's first block is empty (ray 2.49), and a corpus
+    # arriving from an upstream filter can lead with one
+    return _drop_empty_blocks(ds).join(
+        keep_ds, "inner", num_partitions, on=("doc_id",)
+    )
 
 
 def _shingle_hashes(text: str, k: int = 3, memo: dict | None = None) -> np.ndarray:
@@ -371,6 +376,33 @@ def _cat_blocks(sch, *tbls):
     return sch.empty_table() if sch is not None else tbls[0]
 
 
+def _drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Join-side guard: Dataset.join crashes when a side's FIRST
+    block is empty (even schema-ful — reproduced on ray 2.49), so
+    rebuild the dataset from its non-empty block refs. Unlike
+    _rebase this does NOT coalesce — blocks are re-referenced in
+    place (metadata RPCs only, no data copy), so it is cheap enough
+    for the corpus side of a join."""
+    import ray as _ray
+
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+    meta_of = _ray.remote(num_cpus=0)(lambda t: (t.schema, t.num_rows))
+    metas = _ray.get([meta_of.remote(r) for r in refs])
+    live = [r for r, (_s, n) in zip(refs, metas) if n > 0]
+    if live:
+        if len(live) == len(refs):
+            return mat  # nothing to drop: keep the materialized plan
+        return ray.data.from_arrow_refs(live)
+    real = next((s for s, _n in metas if len(s) > 0), None)
+    if real is not None:
+        empty_of = _ray.remote(num_cpus=0)(lambda s: s.empty_table())
+        return ray.data.from_arrow_refs([empty_of.remote(real)])
+    return ray.data.from_arrow_refs(refs[:1])
+
+
 def _rebase(ds: ray.data.Dataset) -> ray.data.Dataset:
     """HARD lineage break + block coalesce + schema normalization.
     Two accumulation modes kill iterative Dataset loops (measured:
@@ -439,6 +471,13 @@ def connected_components(
     import ray as _ray
     from ray.data.aggregate import Sum
 
+    if n_shards < 1 or (n_shards & (n_shards - 1)) != 0:
+        raise ValueError(
+            f"connected_components: n_shards must be a power of two "
+            f"(got {n_shards}) — shards are computed as key & "
+            "(n_shards - 1); a non-power-of-two silently skews and "
+            "drops buckets"
+        )
     if isinstance(pairs, ray.data.Dataset):
         edges = _rebase(pairs.select_columns(["a", "b"]))
     else:
@@ -611,7 +650,9 @@ def near_dup_filter_dist(
     # the fn running, keeping the (node, label) schema — the join's
     # right side must be uniformly (doc_id, _drop)
     drop = _rebase(labels.map_batches(losers, batch_format="pyarrow"))
-    joined = ds.join(
+    # guard the corpus side too: join breaks on an empty FIRST block
+    # on either side (see _drop_empty_blocks)
+    joined = _drop_empty_blocks(ds).join(
         drop, "left_outer", num_partitions, on=(id_col,),
     )
 
@@ -868,7 +909,8 @@ def ngram_jaccard_pairs(
 
 
 def embedding_pairs_exact(
-    ds: ray.data.Dataset, *, threshold: float = 0.95
+    ds: ray.data.Dataset, *, threshold: float = 0.95,
+    max_rows: int = 1_000_000,
 ) -> ray.data.Dataset:
     """EXACT embedding-cosine near-dup pairs (a < b, cosine >=
     threshold): the brute-force complement to the LSH variant.
@@ -877,13 +919,26 @@ def embedding_pairs_exact(
     broadcast ONCE via ray.put (read in every task, never re-shipped
     per batch), each map_batches task multiplies its batch against it
     and emits its rows' qualifying pairs with a < b. O(n^2/p) compute
-    per task, no shuffle. Valid while the normalized matrix fits in
-    the object store (n*d*8 bytes); beyond that, use
-    embedding_neardup_pairs (LSH buckets)."""
+    per task, no shuffle. SMALL-SIDE ONLY by contract: the broadcast
+    matrix is take_all'd to the driver, so inputs above max_rows
+    (default 10^6 ≈ a few GB at typical dims) are REFUSED with a hard
+    error instead of silently OOMing the driver at corpus scale —
+    use embedding_neardup_pairs (LSH buckets) there."""
     import ray as _ray
 
     from .ann import _as_matrix
 
+    n_rows = ds.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"embedding_pairs_exact: input has {n_rows} rows, over the "
+            f"max_rows={max_rows} driver-broadcast bound — this "
+            "operator take_all's the embedding table onto the driver "
+            "by design (brute-force small-side complement). Use "
+            "embedding_neardup_pairs (LSH-bucketed, fully distributed) "
+            "for corpus-scale inputs, or raise max_rows explicitly if "
+            "the driver really has the memory."
+        )
     full = ds.take_all()  # (vec_id, embedding) — the broadcast side
     ids_all = np.array([r["vec_id"] for r in full], dtype=np.int64)
     embs_all = np.array([r["embedding"] for r in full], dtype=np.float64)

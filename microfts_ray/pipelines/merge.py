@@ -670,11 +670,13 @@ def merge_index(
 
             def __call__(self, tbl):
                 import os as _os
+                import time as _time
 
                 import numpy as _np
                 import pyarrow as _pa2
 
                 from microfts_ray.pipelines.query import (
+                    _warm_prof as _wp,
                     _write_warm_dir as _wwd,
                 )
 
@@ -699,9 +701,19 @@ def merge_index(
                         data = sub.drop_columns(
                             ["w_dirname", "w_lo", "w_hi"]
                         )
+                        td0 = _time.perf_counter()
                         out = self.r.warm_from_table(
                             data, _np.unique(data["term"].to_numpy()),
                             self.mps,
+                        )
+                        _wp(
+                            {
+                                "dir": str(dn),
+                                "decode_s": round(
+                                    _time.perf_counter() - td0, 3
+                                ),
+                                "rows": int(data.num_rows),
+                            }
                         )
                         _wwd(
                             dd, out, lo, hi, None, wmin_p,

@@ -2851,6 +2851,23 @@ def _warmstore(create: bool = False):
     return h
 
 
+def _warm_prof(record: dict) -> None:
+    """Append one JSON line of warm-emission phase timings to
+    $MICROFTS_WARM_PROF (no-op unless set). Lines are < PIPE_BUF so
+    concurrent emit workers append atomically on Linux."""
+    import json
+    import os
+
+    path = os.environ.get("MICROFTS_WARM_PROF")
+    if not path:
+        return
+    try:
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+    except OSError:
+        pass
+
+
 def _write_warm_dir(
     dd: str,
     out: dict,
@@ -2867,8 +2884,10 @@ def _write_warm_dir(
     at finalize before moving the dir into warmcache/<sha>/."""
     import json
     import os
+    import time as _time
     import uuid as _uuid
 
+    t0 = _time.perf_counter()
     terms = sorted(out)
     offs = [0]
     for t in terms:
@@ -2883,6 +2902,7 @@ def _write_warm_dir(
         if terms
         else np.empty(0, np.float64)
     )
+    t_concat = _time.perf_counter()
     os.makedirs(dd, exist_ok=True)
     tag = _uuid.uuid4().hex[:8]
     for name, arr in (("keys", keys), ("contribs", contribs)):
@@ -2901,6 +2921,8 @@ def _write_warm_dir(
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, os.path.join(dd, "meta.json"))
+    t_save = _time.perf_counter()
+    t_vec = t_save
     store = _warmstore(create=True)
     if store is not None:
         import ray as _ray
@@ -2919,6 +2941,7 @@ def _write_warm_dir(
                     v = np.zeros(dense_k, dtype=np.float32)
                     v[k] = c
                     vecs[int(t)] = v
+        t_vec = _time.perf_counter()
         try:
             # synchronous: the plasma copies of keys/contribs are owned
             # by THIS task until the store re-puts them; returning
@@ -2926,6 +2949,19 @@ def _write_warm_dir(
             _ray.get(store.put_dir.remote(dd, meta, keys, contribs, vecs))
         except Exception:
             pass  # store gone: the files remain the source of truth
+    t_put = _time.perf_counter()
+    _warm_prof(
+        {
+            "dir": os.path.basename(dd),
+            "n_terms": len(terms),
+            "n_entries": int(offs[-1]),
+            "n_vecs": len(vecs) if store is not None else 0,
+            "concat_s": round(t_concat - t0, 3),
+            "save_s": round(t_save - t_concat, 3),
+            "vec_s": round(t_vec - t_save, 3),
+            "put_s": round(t_put - t_vec, 3),
+        }
+    )
     return len(terms)
 
 

@@ -205,31 +205,59 @@ def events_hourly(events: ray.data.Dataset) -> ray.data.Dataset:
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
-def events_prev_id(events: ray.data.Dataset) -> ray.data.Dataset:
-    """Per-user as-of/LAG: each event paired with the previous event
-    id of the same user (order by ts, event_id). Expressed as
-    groupby(user).map_groups with an in-group sort — the windowed /
-    as-of join building block."""
+def events_prev_id(
+    events: ray.data.Dataset, n_shards: int = 256
+) -> ray.data.Dataset:
+    """Per-user LAG: each event paired with the previous event id of
+    the same user (order by ts, event_id). NOT a per-key group — a
+    hot user (bot account) at 100 TB would make one unbounded
+    straggler group. Instead the asof_prev pattern: hash-shard by
+    user (bounded, balanced groups), lexsort each shard by
+    (user, ts, event_id), and the previous-row shift is masked at
+    user-segment starts — no per-key Python loop, no driver state."""
 
-    def lag(group: pa.Table) -> pa.Table:
+    def tag(b: pa.Table) -> pa.Table:
         import numpy as np
 
-        ts = group["ts"].to_numpy()
-        eid = group["event_id"].to_numpy()
-        order = np.lexsort((eid, ts))
-        eid_s = eid[order]
-        prev = np.empty(eid_s.size, dtype=np.float64)
-        prev[0] = np.nan
-        prev[1:] = eid_s[:-1]
+        u = b["user_id"].to_numpy().astype(np.int64, copy=False)
+        ts = b["ts"].to_numpy()
+        if ts.dtype.kind == "M":
+            ts = ts.astype("datetime64[us]").view(np.int64)
         return pa.table(
             {
-                "user_id": group["user_id"].take(pa.array(order)),
+                "user_id": pa.array(u, pa.int64()),
+                "ts64": pa.array(ts.astype(np.int64, copy=False), pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "shard": pa.array(u % np.int64(n_shards), pa.int64()),
+            }
+        )
+
+    def lag_shard(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = group["user_id"].to_numpy().astype(np.int64, copy=False)
+        ts = group["ts64"].to_numpy().astype(np.int64, copy=False)
+        eid = group["event_id"].to_numpy().astype(np.int64, copy=False)
+        order = np.lexsort((eid, ts, u))
+        u_s, eid_s = u[order], eid[order]
+        prev = np.empty(eid_s.size, dtype=np.float64)
+        if eid_s.size:
+            prev[0] = np.nan
+            prev[1:] = eid_s[:-1]
+            prev[np.r_[False, u_s[1:] != u_s[:-1]]] = np.nan
+        return pa.table(
+            {
+                "user_id": pa.array(u_s, pa.int64()),
                 "event_id": pa.array(eid_s, pa.int64()),
                 "prev_event_id": pa.array(prev, pa.float64()),
             }
         )
 
-    return events.groupby("user_id").map_groups(lag, batch_format="pyarrow")
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lag_shard, batch_format="pyarrow")
+    )
 
 
 def asof_prev(
@@ -254,8 +282,14 @@ def asof_prev(
     (key, ts, id, side), shuffled ONCE by key hash shard, and each
     shard is matched with a single lexsort + a segment-reset
     maximum.accumulate — no per-key Python loop, no driver state.
-    Timestamps compare as int64 microseconds."""
-    mask = np.int64(n_shards - 1)
+    Timestamps compare as int64 microseconds.
+
+    Key/id columns must be integer-typed (they ride the slim shuffle
+    as int64; a silent float/string coercion would corrupt matches,
+    so non-integer columns raise). right_id values may be ANY int64
+    including negatives — the no-match NULL mask comes from the
+    row-index sentinel, never from the id value."""
+    shards64 = np.int64(n_shards)
 
     def _ts64(col) -> np.ndarray:
         arr = col.to_numpy()
@@ -263,26 +297,36 @@ def asof_prev(
             arr = arr.astype("datetime64[us]").view(np.int64)
         return arr.astype(np.int64, copy=False)
 
+    def _int_col(b: pa.Table, name: str) -> np.ndarray:
+        arr = b[name].to_numpy()
+        if arr.dtype.kind not in "iu":
+            raise TypeError(
+                f"asof_prev: column {name!r} must be integer-typed "
+                f"(got {arr.dtype}); hash/encode string keys to int64 "
+                "upstream"
+            )
+        return arr.astype(np.int64, copy=False)
+
     def tag_left(b: pa.Table) -> pa.Table:
-        k = b[left_key].to_numpy().astype(np.int64, copy=False)
+        k = _int_col(b, left_key)
         return pa.table(
             {"k": pa.array(k, pa.int64()),
              "ts": pa.array(_ts64(b[left_ts]), pa.int64()),
              "rid": pa.array(np.zeros(k.size, np.int64), pa.int64()),
-             "lid": b[left_id].cast(pa.int64()),
+             "lid": pa.array(_int_col(b, left_id), pa.int64()),
              "side": pa.array(np.ones(k.size, np.int8), pa.int8()),
-             "shard": pa.array(k & mask, pa.int64())}
+             "shard": pa.array(k % shards64, pa.int64())}
         )
 
     def tag_right(b: pa.Table) -> pa.Table:
-        k = b[right_key].to_numpy().astype(np.int64, copy=False)
+        k = _int_col(b, right_key)
         return pa.table(
             {"k": pa.array(k, pa.int64()),
              "ts": pa.array(_ts64(b[right_ts]), pa.int64()),
-             "rid": b[right_id].cast(pa.int64()),
+             "rid": pa.array(_int_col(b, right_id), pa.int64()),
              "lid": pa.array(np.zeros(k.size, np.int64), pa.int64()),
              "side": pa.array(np.zeros(k.size, np.int8), pa.int8()),
-             "shard": pa.array(k & mask, pa.int64())}
+             "shard": pa.array(k % shards64, pa.int64())}
         )
 
     rows = left.map_batches(tag_left, batch_format="pyarrow").union(
@@ -309,17 +353,19 @@ def asof_prev(
         acc = np.maximum.accumulate(r)
         is_left = side == 1
         # a match leaked from the previous key sorts before this key's
-        # segment start — invalid by the seg_start comparison
+        # segment start — invalid by the seg_start comparison. The
+        # no-match mask is the ROW-INDEX sentinel (acc == -1 is
+        # subsumed by acc < seg_start), never the rid value, so a
+        # legitimately negative right_id round-trips intact.
         valid = is_left & (acc >= seg_start)
         out_lid = lid[is_left]
-        prev = np.full(out_lid.size, -1, dtype=np.int64)
-        prev[valid[is_left]] = rid[acc[is_left][valid[is_left]]]
+        hit = valid[is_left]
+        prev = np.zeros(out_lid.size, dtype=np.int64)
+        prev[hit] = rid[acc[is_left][hit]]
         return pa.table(
             {
                 "left_id": pa.array(out_lid, pa.int64()),
-                "prev_right_id": pa.array(
-                    np.maximum(prev, 0), pa.int64(), mask=prev < 0
-                ),
+                "prev_right_id": pa.array(prev, pa.int64(), mask=~hit),
             }
         )
 

@@ -296,6 +296,34 @@ def test_ann_ivf_indexed_matches_scalar_oracle(tmp_path):
         assert got["vec_id"].iloc[0] == qi + 1  # planted near-dup found
 
 
+def test_ann_ivf_sample_bounded_on_driver():
+    """The IVF training sample must stay driver-bounded: for an input
+    100x larger than max_sample, the driver never holds more than
+    max_sample + one batch of candidate rows (the round-3 version
+    take_all'd ~1/stride of the corpus BEFORE capping — a driver OOM
+    at real scale), and the folded sample equals the smallest
+    max_sample vec_id multiples of the stride."""
+    from microfts_ray.pipelines.ann import _ivf_sample
+
+    max_sample, stride = 32, 3
+    n = max_sample * 100
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((n, 4))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([row.tolist() for row in v]),
+        }
+    )
+    batch_rows = 64
+    ds = ray.data.from_arrow(tbl).repartition(n // batch_rows)
+    sample, peak = _ivf_sample(ds, stride, max_sample)
+    assert peak <= max_sample + batch_rows
+    want_ids = np.arange(0, n, stride)[:max_sample]
+    assert sample.shape == (max_sample, 4)
+    assert (sample == v[want_ids].astype(np.float64)).all()
+
+
 def test_ann_ivf_deterministic_rebuild(tmp_path):
     """Two builds over the same data produce identical centroids —
     the no-RNG training contract multi-node determinism rests on."""
@@ -328,6 +356,18 @@ def test_embedding_pairs_exact_vs_bruteforce():
     assert {(0, 1), (10, 11), (20, 21)} <= set(got)
     for k in got:
         assert got[k] == pytest.approx(want[k])
+
+
+def test_embedding_pairs_exact_refuses_oversize():
+    """The brute-force path take_all's the table onto the driver, so
+    it must HARD-FAIL above its row bound and point at the LSH path
+    instead of silently OOMing at corpus scale."""
+    from microfts_ray.pipelines.dedup import embedding_pairs_exact
+
+    tbl, _ = _vec_table()
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="embedding_neardup_pairs"):
+        embedding_pairs_exact(ds, threshold=0.9, max_rows=5)
 
 
 def test_embedding_neardup_pairs():

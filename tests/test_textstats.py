@@ -124,3 +124,100 @@ def test_asof_prev_backward_inclusive():
     assert out.isna()[102]  # nothing <= 5
     assert out.isna()[103]  # right ts 50 > 10
     assert out.isna()[104]  # key 3 has no right rows
+
+
+def test_asof_prev_negative_right_id_roundtrips():
+    """A legitimately NEGATIVE right_id must come back intact — the
+    no-match NULL mask is the row-index sentinel, not the id value
+    (the r3 version masked with prev < 0, silently nulling -1 ids)."""
+    from microfts_ray.pipelines.relational import asof_prev
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array([1, 1], pa.int64()),
+             "lts": pa.array([10, 1], pa.int64()),
+             "lid": pa.array([100, 101], pa.int64())}
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array([1], pa.int64()),
+             "rts": pa.array([5], pa.int64()),
+             "rid": pa.array([-1], pa.int64())}
+        )
+    )
+    out = (
+        asof_prev(
+            left, right,
+            left_key="k", left_ts="lts", left_id="lid",
+            right_key="k", right_ts="rts", right_id="rid",
+        )
+        .to_pandas()
+        .set_index("left_id")["prev_right_id"]
+    )
+    assert out[100] == -1  # negative id is a real match, not NULL
+    assert out.isna()[101]  # nothing <= 1 -> genuine no-match
+
+
+def test_asof_prev_rejects_non_integer_key():
+    from microfts_ray.pipelines.relational import asof_prev
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array(["x"], pa.string()),
+             "lts": pa.array([1], pa.int64()),
+             "lid": pa.array([1], pa.int64())}
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {"k": pa.array(["x"], pa.string()),
+             "rts": pa.array([1], pa.int64()),
+             "rid": pa.array([1], pa.int64())}
+        )
+    )
+    with pytest.raises(Exception, match="integer-typed"):
+        asof_prev(
+            left, right,
+            left_key="k", left_ts="lts", left_id="lid",
+            right_key="k", right_ts="rts", right_id="rid",
+        ).to_pandas()
+
+
+def test_events_prev_id_sharded_matches_naive():
+    """events_prev_id (hash-shard + lexsort + segment shift — no
+    per-user groups) must equal the naive per-user LAG, including a
+    hot key that dominates one shard."""
+    import numpy as np
+    import pandas as pd
+
+    from microfts_ray.pipelines.relational import events_prev_id
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    users = np.where(rng.random(n) < 0.4, 3, rng.integers(0, 50, n))
+    ts = pd.to_datetime(rng.integers(0, 10_000, n), unit="s")
+    eid = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {"user_id": pa.array(users, pa.int64()),
+         "event_id": pa.array(eid, pa.int64()),
+         "ts": pa.array(ts)}
+    )
+    got = (
+        events_prev_id(ray.data.from_arrow(tbl), n_shards=7)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    prev = df.groupby("user_id")["event_id"].shift(1)
+    want = pd.DataFrame(
+        {"user_id": df["user_id"], "event_id": df["event_id"],
+         "prev_event_id": prev}
+    ).sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    ga, wa = got["prev_event_id"], want["prev_event_id"]
+    assert (ga.isna() == wa.isna()).all()
+    assert (ga.dropna() == wa.dropna()).all()
