@@ -48,6 +48,54 @@ from ..state import manifest as mf
 from .build import TERMS_SCHEMA, _pkg_root, encode_partition_runs
 
 
+def _park_index_file(path: str) -> None:
+    """Best-effort: park a just-written index file's bytes in the warm
+    store's plasma cache (budgeted) so in-session serving reads it
+    zero-copy from shared memory. This box's page-cache reclaimer can
+    evict a just-written file within SECONDS; first-pass rare-gram
+    decodes then crawl a 10-20 MB/s disk (r3: first BM25 pass 77-79 s
+    vs a 9.8 s band). No-op without a live warm store."""
+    from .query import _warmstore
+
+    try:
+        store = _warmstore()
+        if store is None:
+            return
+        with open(path, "rb") as f:
+            data = np.frombuffer(f.read(), dtype=np.uint8)
+        ray.get(
+            store.put_file_bytes.remote(os.path.abspath(path), data)
+        )
+    except Exception:
+        pass
+
+
+def _emit_pool_cap(knee: int = 6) -> int:
+    """Warm-emission fan-out cap. Decode streams are bounded by
+    PER-NODE memory bandwidth (the measured knee is ~6 concurrent
+    streams on this host class), but the cap applies CLUSTER-WIDE, so
+    the default is knee x live-node count — a single-host constant
+    would serialize warm emission on a multi-node cluster where every
+    node brings its own memory bus (r3 verdict). MICROFTS_EMIT_TASKS
+    overrides explicitly (0 = uncapped: one emit slot per unit);
+    single-node behavior is unchanged (knee)."""
+    env = os.environ.get("MICROFTS_EMIT_TASKS")
+    if env is not None:
+        return int(env)
+    n_nodes = 1
+    try:
+        if ray.is_initialized():
+            n_nodes = sum(
+                1
+                for n in ray.nodes()
+                if n.get("Alive")
+                and n.get("Resources", {}).get("CPU", 0) > 0
+            ) or 1
+    except Exception:
+        pass
+    return knee * n_nodes
+
+
 def _balanced_bounds(
     terms_paths: list[str], n_shards: int, sample: int = 32
 ) -> tuple[list[int], np.ndarray]:
@@ -222,7 +270,9 @@ def write_shard_table(
     tmp = os.path.join(out_dir, f".terms.{uuid.uuid4().hex[:8]}.tmp")
     pq.write_table(out_tbl, tmp, row_group_size=512, compression="zstd",
                    compression_level=3)
-    os.replace(tmp, os.path.join(out_dir, "terms.parquet"))
+    final = os.path.join(out_dir, "terms.parquet")
+    os.replace(tmp, final)
+    _park_index_file(final)  # serving hot layer: zero-copy plasma read
     entry = {
         "pid": pid,
         "shard": shard,
@@ -315,6 +365,7 @@ def write_hot_term_shards(
         pq.write_table(sub_tbl, tmp, row_group_size=512, compression="zstd",
                        compression_level=3)
         os.replace(tmp, os.path.join(index_dir, rel))
+        _park_index_file(os.path.join(index_dir, rel))
         subs.append(
             {
                 "pid": f"{pid}-{j:03d}",
@@ -450,31 +501,63 @@ def merge_index(
     warm_ctx = None
     warm_shared_vals = None
     if emit_warm and mode == "stack" and dead is None:
-        from .query import IndexReader as _IR
+        # create the warm store FIRST, on the driver: a named
+        # non-detached actor dies with its creator, and the emitting
+        # map tasks are ephemeral — driver ownership keeps the
+        # plasma-resident warm set alive all session. Created before
+        # IndexReader so its docs-sidecar reads can be parked for it.
+        from .query import IndexReader as _IR, _warmstore as _ws
 
+        _ws(create=True)
         _r0 = _IR(index_dir)
+        # park the docs sidecars alongside the (to-be-written) merged
+        # shards: serving derives the dense space, chunk-dl space and
+        # doc metadata from them on every reader construction, and the
+        # reclaimer evicts them as readily as everything else
+        for rel in sorted(set(_r0._pid_docs.values())):
+            _park_index_file(os.path.join(index_dir, rel))
         if _r0._dense_space() is not None:
             try:
                 _dls = _r0._chunk_dl_space()
             except KeyError:
                 _dls = None
             warm_shared_vals = (_r0._dense, _dls, _r0._warm_maps())
-            # create the warm store HERE, on the driver: a named
-            # non-detached actor dies with its creator, and the
-            # emitting map tasks are ephemeral — driver ownership
-            # keeps the plasma-resident warm set alive all session
-            from .query import _warmstore as _ws
-
-            _ws(create=True)
             if warm_inline:
                 staging = os.path.join(
                     index_dir, "warmcache", f".staging-{uuid.uuid4().hex[:8]}"
                 )
-                from .query import _vec_min_default as _vmd
+                from .query import (
+                    _vec_min_default as _vmd,
+                    _warm_files_mode as _wfm,
+                )
 
+                # per-dir TIME budget for the dense-vector pre-build:
+                # total budget MICROFTS_VEC_BUDGET_SECONDS spread over
+                # the emit pool's dirs. A time bound needs no
+                # bandwidth probe and self-adapts when the episode
+                # flips MID-RUN (a probe-derived byte budget measured
+                # healthy at merge start and then built every vector
+                # inside a collapse): at healthy bandwidth every
+                # eligible vector fits comfortably (behavior and bands
+                # unchanged); inside a collapse each dir builds its
+                # hottest vectors until its slice is spent and the
+                # rest build lazily at first query use (_dense_vec).
+                vec_sec_total = float(
+                    os.environ.get("MICROFTS_VEC_BUDGET_SECONDS", "8")
+                )
+                n_units_est = n_shards + len(hot_subs_of)
+                emit_cap = _emit_pool_cap()
+                per_dir_sec = (
+                    vec_sec_total * max(1, emit_cap or n_units_est)
+                    / max(1, n_units_est)
+                    if vec_sec_total > 0
+                    else None
+                )
+                # files mode is driver-evaluated and threaded through
+                # (workers may not see late env changes)
                 warm_ctx = (
                     ray.put(warm_shared_vals), staging,
-                    int(warm_min_entries), _vmd(),
+                    int(warm_min_entries), _vmd(), _wfm(), per_dir_sec,
                 )
 
     def run_unit(batch: dict):
@@ -541,6 +624,7 @@ def merge_index(
                         wwd(
                             _os_path_join(warm_ctx[1], dirname), {},
                             term, term + 1, None, warm_ctx[2],
+                            files=warm_ctx[4],
                         )
                 # rows None (checkpoint resume): the file-reading
                 # fallback emit fills the dir
@@ -613,7 +697,7 @@ def merge_index(
                     # and the completion marker stay uniform
                     wwd(
                         _os_path_join(warm_ctx[1], f"shard={shard:04d}"),
-                        {}, lo, hi, None, wmin_l,
+                        {}, lo, hi, None, wmin_l, files=warm_ctx[4],
                     )
                 else:
                     warm_tbls.append(wtbl)
@@ -634,7 +718,7 @@ def merge_index(
     ]
     ds = ray.data.from_items(units, override_num_blocks=len(units))
     kwargs = {"concurrency": concurrency} if concurrency else {}
-    cap = int(os.environ.get("MICROFTS_EMIT_TASKS", "6"))
+    cap = _emit_pool_cap()
     shard_out = ds.map_batches(run_unit, batch_size=1, num_cpus=1, **kwargs)
     if warm_ctx is None:
         shard_out.materialize()
@@ -647,7 +731,7 @@ def merge_index(
         # amortize the first-allocation page-fault tax that one-shot
         # emit tasks each paid, and decode overlaps the rest of the
         # merge instead of serializing behind it.
-        shared_ref_p, staging_p, wmin_p, vec_min_p = warm_ctx
+        shared_ref_p, staging_p, wmin_p, vec_min_p, files_p, vec_sec_p = warm_ctx
 
         class _EmitWarm:
             def __init__(self):
@@ -718,13 +802,14 @@ def merge_index(
                         _wwd(
                             dd, out, lo, hi, None, wmin_p,
                             dense_k=self.dense_k, vec_min=vec_min_p,
+                            files=files_p, vec_seconds=vec_sec_p,
                         )
                         names.append(str(dn))
                 return _pa2.table(
                     {"dirname": _pa2.array(names, _pa2.string())}
                 )
 
-        n_emit = max(1, cap) if cap > 0 else n_shards
+        n_emit = min(max(1, cap), len(units)) if cap > 0 else len(units)
         # a hot term's warm block can exceed the default 128 MiB
         # target block size; raise it for this pipeline so a warm
         # dir's rows are never split across blocks (_EmitWarm refuses
@@ -778,7 +863,7 @@ def merge_index(
             import json as _json
             import shutil as _shutil
 
-            _, staging, _, _ = warm_ctx
+            staging = warm_ctx[1]
             sha = _IR2(index_dir)._manifest_sha()
             target = os.path.join(index_dir, "warmcache", sha)
             store = _warmstore()

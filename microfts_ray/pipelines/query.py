@@ -93,16 +93,24 @@ class _DocMeta:
 
 
 class _Segment:
-    """One build partition's terms/docs files + lazy caches."""
+    """One build partition's terms/docs files + lazy caches. With
+    `buf` (plasma-parked file bytes from the warm store), the parquet
+    opens over shared memory — immune to the page-cache reclaimer
+    that turns re-reads of just-written index files into a disk
+    crawl; the path stays the restart fallback."""
 
-    def __init__(self, index_dir: str, entry: dict):
+    def __init__(self, index_dir: str, entry: dict, buf=None):
         import os
 
         self.entry = entry
         self.terms_path = os.path.join(index_dir, entry["segment"]["terms"])
         docs_rel = entry["segment"].get("docs")  # merged shards have no docs sidecar
         self.docs_path = os.path.join(index_dir, docs_rel) if docs_rel else None
-        self._pf = pq.ParquetFile(self.terms_path)
+        self._pf = pq.ParquetFile(
+            pa.BufferReader(pa.py_buffer(buf))
+            if buf is not None
+            else self.terms_path
+        )
         # term directory: sorted term ids + (n, df) + row index
         dir_tbl = self._pf.read(columns=["term", "n", "df"])
         self.terms = dir_tbl["term"].to_numpy()
@@ -162,13 +170,30 @@ class IndexReader:
     ):
         self.index_dir = index_dir
         self.manifest = mf.load_manifest(index_dir)
-        self.segments = [_Segment(index_dir, e) for e in self.manifest["partitions"]]
+        # plasma-parked index file bytes (merged shards + docs
+        # sidecars, parked at merge time): ONE batched store RPC, then
+        # every parquet open below is a zero-copy shared-memory read
+        self._file_buffers = self._fetch_file_buffers()
+        import os as _os
+
+        def _seg(e):
+            return _Segment(
+                index_dir,
+                e,
+                buf=self._file_buffers.get(
+                    _os.path.abspath(
+                        _os.path.join(index_dir, e["segment"]["terms"])
+                    )
+                ),
+            )
+
+        self.segments = [_seg(e) for e in self.manifest["partitions"]]
         # prefer merged term-range shards (pipelines/merge.py): one
         # posting run per term instead of one per build partition
         merged = self.manifest.get("merged")
         if merged:
             self.n_shards = merged["n_shards"]
-            self.shards = [_Segment(index_dir, e) for e in merged["shards"]]
+            self.shards = [_seg(e) for e in merged["shards"]]
             self._shard_bounds = np.array(merged["bounds"], dtype=np.int64)
             # ultra-hot terms split by doc range into their own
             # sub-shards (merge.write_hot_term_shards): routed here,
@@ -176,7 +201,7 @@ class IndexReader:
             self.hot_segments: dict[int, list[_Segment]] = {}
             for e in merged.get("hot", []):
                 self.hot_segments.setdefault(int(e["term"]), []).append(
-                    _Segment(index_dir, e)
+                    _seg(e)
                 )
         else:
             self.n_shards = 0
@@ -230,6 +255,75 @@ class IndexReader:
             if p["segment"].get("docs")
         }
 
+    def _fetch_file_buffers(self) -> dict:
+        """One batched warm-store RPC for every index file this reader
+        may open (terms + docs sidecars): {abspath: plasma-backed
+        uint8 view}. Empty without a live store — opens then fall back
+        to storage exactly as before. The parked hot layer makes
+        serving reads reclaimer-proof: this box evicts just-written
+        index files within seconds, and a first-pass rare-gram decode
+        against evicted shards crawled a 10-20 MB/s disk (r3)."""
+        import os
+
+        store = _warmstore()
+        if store is None:
+            return {}
+        paths = []
+        for p in self.manifest["partitions"]:
+            paths.append(os.path.join(self.index_dir, p["segment"]["terms"]))
+            if p["segment"].get("docs"):
+                paths.append(
+                    os.path.join(self.index_dir, p["segment"]["docs"])
+                )
+        merged = self.manifest.get("merged")
+        if merged:
+            for e in merged["shards"]:
+                paths.append(
+                    os.path.join(self.index_dir, e["segment"]["terms"])
+                )
+            for e in merged.get("hot", []):
+                paths.append(
+                    os.path.join(self.index_dir, e["segment"]["terms"])
+                )
+        paths = sorted({os.path.abspath(p) for p in paths})
+        import ray as _ray
+
+        try:
+            refs = _ray.get(store.file_refs.remote(paths))
+        except Exception:
+            return {}
+        out = {}
+        for p, ent in zip(paths, refs):
+            if ent is None:
+                continue
+            ref, nbytes = ent
+            try:
+                # staleness guard: a file rewritten OUTSIDE the parking
+                # writers (size changed) must not serve old bytes
+                if os.path.getsize(p) != nbytes:
+                    continue
+                out[p] = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+            except OSError:
+                # file deleted on disk but parked: plasma copy is the
+                # only copy — keep serving it (reclaimer defense)
+                out[p] = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+            except Exception:
+                continue
+        return out
+
+    def _read_index_table(self, rel: str, columns=None) -> pa.Table:
+        """Read an index-relative parquet, preferring the plasma-parked
+        bytes over storage."""
+        import os
+
+        path = os.path.abspath(os.path.join(self.index_dir, rel))
+        buf = self._file_buffers.get(path)
+        if buf is not None:
+            return pq.read_table(
+                pa.BufferReader(pa.py_buffer(buf)), columns=columns
+            )
+        return pq.read_table(path, columns=columns)
+
     # -- posting access ----------------------------------------------------
     def _term_sources(self, term: int) -> list[_Segment]:
         if self.shards:
@@ -261,9 +355,7 @@ class IndexReader:
             rel = self._pid_docs.get(pid)
             if rel is None:
                 raise KeyError(f"unknown doc dictionary {dict_id!r}")
-            t = pq.read_table(
-                os.path.join(self.index_dir, rel), columns=["doc_id", "sub"]
-            )
+            t = self._read_index_table(rel, columns=["doc_id", "sub"])
             ids = t["doc_id"].to_numpy()
             subs = t["sub"].to_numpy()
             for k in np.unique(subs):
@@ -533,6 +625,13 @@ class IndexReader:
             if store is not None:
                 import ray as _ray
 
+                def deref(x):
+                    # _owner-put refs AUTO-RESOLVE when returned nested
+                    # from the actor (zero-copy plasma views, measured
+                    # writeable=False/owndata=False); actor-internal
+                    # puts come back as refs — accept both shapes
+                    return _ray.get(x) if isinstance(x, _ray.ObjectRef) else x
+
                 try:
                     ent = _ray.get(store.get_dir.remote(dd))
                 except Exception:
@@ -540,14 +639,14 @@ class IndexReader:
                 if ent is not None:
                     meta, kref, cref, vrefs = ent
                     if meta.get("manifest_sha") == sha:
-                        ok = fill(meta, _ray.get(kref), _ray.get(cref))
+                        ok = fill(meta, deref(kref), deref(cref))
                         if ok:
                             for t, vref in vrefs.items():
                                 if t in self._sorted_kc and t not in self._vec_cache:
                                     # shared plasma copy: not counted
                                     # against this reader's PRIVATE
                                     # _vec_budget
-                                    self._vec_cache[t] = _ray.get(vref)
+                                    self._vec_cache[t] = deref(vref)
                         return ok
             meta_p = os.path.join(dd, "meta.json")
             if not os.path.exists(meta_p):
@@ -841,9 +940,7 @@ class IndexReader:
             dl_ids = None
         for pid, rel in self._pid_docs.items():
             subs = np.unique(
-                pq.read_table(
-                    os.path.join(self.index_dir, rel), columns=["sub"]
-                )["sub"].to_numpy()
+                self._read_index_table(rel, columns=["sub"])["sub"].to_numpy()
             )
             for k in subs:
                 did = f"{pid}:{int(k)}"
@@ -886,11 +983,30 @@ class IndexReader:
 
         def _finish_from_cache() -> int:
             if self._dense_space() is not None:
+                # eager-build MISSING dense vectors hottest-first,
+                # TIME-BUDGETED: parked vectors are free (plasma
+                # views); ones the emission's ambient budget skipped
+                # cost a 33 MB scatter each, and inside a bandwidth
+                # collapse building all of them here would just move
+                # warm_build's unbounded cost into query_warmup —
+                # past the budget they build lazily at first use
+                import os as _os
+                import time as _time
+
+                budget = float(
+                    _os.environ.get("MICROFTS_PREWARM_VEC_SECONDS", "8")
+                )
+                t0 = _time.perf_counter()
                 for t, n in sorted(
                     self._term_len_cache.items(), key=lambda kv: -kv[1]
                 ):
-                    if n >= self._vec_min:
-                        self._dense_vec(t)
+                    if n < self._vec_min:
+                        break  # descending: nothing below is eligible
+                    if t in self._vec_cache:
+                        continue
+                    if _time.perf_counter() - t0 > budget:
+                        break
+                    self._dense_vec(t)
             return len(self._sorted_kc)
 
         if term_range is not None:
@@ -1177,10 +1293,8 @@ class IndexReader:
 
     # -- doc metadata / chunk text (J1/J2/J3) ------------------------------
     def _docs_tables(self):
-        import os
-
         for rel, si in mf.docs_sources(self.manifest):
-            yield si, pq.read_table(os.path.join(self.index_dir, rel))
+            yield si, self._read_index_table(rel)
 
     def _load_doc_meta(self) -> "_DocMeta":
         """Doc metadata as doc_id-sorted ARRAYS (numpy ids + aligned
@@ -2765,7 +2879,21 @@ class _WarmStoreImpl:
     copy per node that actually serves the range."""
 
     def __init__(self):
+        import os
+
         self._dirs: dict = {}
+        # parked index FILE bytes (merged shards, docs sidecars):
+        # serving reads them zero-copy from plasma instead of disk —
+        # this box's reclaimer can evict just-written index files in
+        # seconds, turning first-pass rare-gram decodes into a
+        # 10-20 MB/s disk crawl. Budgeted: at true scale the merged
+        # layer outgrows any one node's plasma, so parking stops at
+        # the cap and readers fall back to storage.
+        self._files: dict = {}
+        self._file_bytes = 0
+        self._file_budget = int(
+            os.environ.get("MICROFTS_FILE_PLASMA_BYTES", str(4 << 30))
+        )
 
     def put_dir(
         self, dirpath: str, meta: dict, keys, contribs, vecs=None
@@ -2784,8 +2912,78 @@ class _WarmStoreImpl:
         self._dirs[dirpath] = (meta, _ray.put(keys), _ray.put(contribs), vrefs)
         return True
 
+    def put_dir_refs(
+        self, dirpath: str, meta: dict, kref_w, cref_w, vrefs
+    ) -> bool:
+        """Single-copy park: the emitter already ray.put the arrays
+        with _owner=this actor (ownership transferred at put time), so
+        the store just records the refs — the round-3 path paid every
+        byte twice (arg serialization + actor re-put). kref_w/cref_w
+        arrive LIST-WRAPPED: a top-level ObjectRef argument would be
+        auto-dereferenced by Ray before the method ran."""
+        self._dirs[dirpath] = (meta, kref_w[0], cref_w[0], dict(vrefs))
+        return True
+
     def get_dir(self, dirpath: str):
         return self._dirs.get(dirpath)
+
+    def put_file_bytes(self, path: str, data) -> bool:
+        """Park one index file's bytes (keyed by absolute path).
+        Refused over the byte budget — callers fall back to disk. A
+        re-put REPLACES the entry: compact/rewrite-merge overwrites
+        shard files at the same path, and serving stale parked bytes
+        would silently resurrect dropped postings."""
+        import ray as _ray
+
+        if path in self._files:
+            self._file_bytes -= self._files[path][1]
+            del self._files[path]
+        if self._file_bytes + len(data) > self._file_budget:
+            return False
+        self._files[path] = (_ray.put(data), len(data))
+        self._file_bytes += len(data)
+        return True
+
+    def file_refs(self, paths: list) -> list:
+        """Batched lookup: one RPC per IndexReader construction, not
+        one per segment file. Entries are (ref, nbytes) — readers
+        cross-check nbytes against the on-disk size and drop parked
+        bytes that no longer match (rewrite not routed through
+        put_file_bytes)."""
+        return [self._files.get(p) for p in paths]
+
+    def persist_files(self, mode_env: str | None = None) -> int:
+        """Write any warm dirs' deferred keys/contribs npy files from
+        the plasma copies this actor owns (tmp + rename, one dir at a
+        time — the single-threaded actor serializes the disk writes
+        instead of stampeding the 10-20 MB/s device). Fire-and-forget
+        from merge finalize: the files are only the restart fallback,
+        so they must never sit on the time-to-servable path."""
+        import os
+        import uuid as _uuid
+
+        import numpy as _np
+        import ray as _ray
+
+        n = 0
+        for dd, (meta, kref, cref, _vrefs) in list(self._dirs.items()):
+            if meta.get("manifest_sha") is None:
+                continue  # staged dir: finalize will move + re-call
+            if os.path.exists(os.path.join(dd, "keys.npy")):
+                continue
+            if not os.path.isdir(dd):
+                continue
+            try:
+                tag = _uuid.uuid4().hex[:8]
+                for name, ref in (("keys", kref), ("contribs", cref)):
+                    arr = _ray.get(ref)
+                    tmp = os.path.join(dd, f".{name}.{tag}.tmp.npy")
+                    _np.save(tmp, _np.asarray(arr))
+                    os.replace(tmp, os.path.join(dd, f"{name}.npy"))
+                n += 1
+            except Exception:
+                continue
+        return n
 
     def rebind(self, src: str, dst: str, sha: str) -> bool:
         """Merge finalize: a STAGED dir (written before the manifest
@@ -2868,6 +3066,17 @@ def _warm_prof(record: dict) -> None:
         pass
 
 
+def _warm_files_mode() -> str:
+    """npy-persistence mode, DRIVER-evaluated (workers may not see
+    late env changes — callers thread the value through, the same
+    contract as MICROFTS_VEC_MIN): "async" (default — the store actor
+    writes the restart-fallback files after the index is servable),
+    "inline" (synchronous write, the round-3 behavior), "skip"."""
+    import os
+
+    return os.environ.get("MICROFTS_WARM_FILES", "async")
+
+
 def _write_warm_dir(
     dd: str,
     out: dict,
@@ -2877,6 +3086,8 @@ def _write_warm_dir(
     min_entries: int,
     dense_k: int | None = None,
     vec_min: int | None = None,
+    files: str | None = None,
+    vec_seconds: float | None = None,
 ) -> int:
     """Persist one warm dir: concatenated sorted keys + f64 contribs
     with a per-term offset directory. sha=None marks a STAGED dir (the
@@ -2905,10 +3116,21 @@ def _write_warm_dir(
     t_concat = _time.perf_counter()
     os.makedirs(dd, exist_ok=True)
     tag = _uuid.uuid4().hex[:8]
-    for name, arr in (("keys", keys), ("contribs", contribs)):
-        tmp = os.path.join(dd, f".{name}.{tag}.tmp.npy")
-        np.save(tmp, arr)
-        os.replace(tmp, os.path.join(dd, f"{name}.npy"))
+    store = _warmstore(create=True)
+    # npy persistence mode: the files are ONLY the restart fallback
+    # (serving loads from plasma in-session; a test proves queries
+    # stay oracle-identical with every npy deleted), so by default
+    # ("async") they are written AFTER the index is servable by the
+    # store actor (persist_files) — the round-3 inline np.save of
+    # ~1.7 GB sat squarely on the time-to-servable path (measured 186
+    # worker-seconds at a collapsed bus). "inline" restores the old
+    # synchronous write; "skip" never writes them.
+    files_mode = files if files is not None else _warm_files_mode()
+    if files_mode == "inline" or store is None:
+        for name, arr in (("keys", keys), ("contribs", contribs)):
+            tmp = os.path.join(dd, f".{name}.{tag}.tmp.npy")
+            np.save(tmp, arr)
+            os.replace(tmp, os.path.join(dd, f"{name}.npy"))
     meta = {
         "terms": [int(t) for t in terms],
         "offsets": offs,
@@ -2923,7 +3145,7 @@ def _write_warm_dir(
     os.replace(tmp, os.path.join(dd, "meta.json"))
     t_save = _time.perf_counter()
     t_vec = t_save
-    store = _warmstore(create=True)
+    put_path = "none"
     if store is not None:
         import ray as _ray
 
@@ -2933,22 +3155,55 @@ def _write_warm_dir(
             # terms HERE, while keys/contribs are cache-resident in
             # the emitting task: serving then shares one plasma copy
             # per vector instead of every reader paying the scatter
-            # (episodically 0.5-1.3 s/term on this box) privately
+            # (episodically 0.5-1.3 s/term on this box) privately.
+            # HOTTEST-FIRST within a TIME budget (vec_seconds, from
+            # the caller's MICROFTS_VEC_BUDGET_SECONDS spread over the
+            # emit pool): a 33 MB scatter costs ~30 ms at healthy
+            # bandwidth and seconds inside a collapse episode, so a
+            # time bound — unlike a probe-derived byte budget — keeps
+            # warm_build bounded even when the episode flips mid-run.
+            # Skipped terms build lazily at first query (_dense_vec).
             vm = vec_min if vec_min is not None else _vec_min_default()
-            for t in terms:
+            tv0 = _time.perf_counter()
+            for t in sorted(terms, key=lambda t: -out[t][0].size):
                 k, c = out[t][0], out[t][1]
-                if k.size >= vm:
-                    v = np.zeros(dense_k, dtype=np.float32)
-                    v[k] = c
-                    vecs[int(t)] = v
+                if k.size < vm:
+                    break  # descending: nothing smaller is eligible
+                if (
+                    vec_seconds is not None
+                    and vecs
+                    and _time.perf_counter() - tv0 > vec_seconds
+                ):
+                    break  # budget spent: remaining vectors go lazy
+                v = np.zeros(dense_k, dtype=np.float32)
+                v[k] = c
+                vecs[int(t)] = v
         t_vec = _time.perf_counter()
         try:
-            # synchronous: the plasma copies of keys/contribs are owned
-            # by THIS task until the store re-puts them; returning
-            # before the actor ran could free them under it
-            _ray.get(store.put_dir.remote(dd, meta, keys, contribs, vecs))
+            # single-copy park: _owner transfers ownership of the
+            # plasma objects to the long-lived store actor AT PUT
+            # TIME, so the store only records refs (put_dir_refs) —
+            # the re-put path paid every byte twice
+            kref = _ray.put(keys, _owner=store)
+            cref = _ray.put(contribs, _owner=store)
+            vrefs = {
+                int(t): _ray.put(v, _owner=store) for t, v in vecs.items()
+            }
+            _ray.get(
+                store.put_dir_refs.remote(dd, meta, [kref], [cref], vrefs)
+            )
+            put_path = "owner"
+        except TypeError:
+            try:
+                # ray build without _owner: the double-copy fallback
+                _ray.get(
+                    store.put_dir.remote(dd, meta, keys, contribs, vecs)
+                )
+                put_path = "reput"
+            except Exception:
+                pass
         except Exception:
-            pass  # store gone: the files remain the source of truth
+            pass  # store gone: decode fallback serves this dir
     t_put = _time.perf_counter()
     _warm_prof(
         {
@@ -2960,6 +3215,7 @@ def _write_warm_dir(
             "save_s": round(t_save - t_concat, 3),
             "vec_s": round(t_vec - t_save, 3),
             "put_s": round(t_put - t_vec, 3),
+            "put_path": put_path,
         }
     )
     return len(terms)
@@ -2977,6 +3233,8 @@ def emit_warm_shard(
     maps,
     hot_exclude=(),
     vec_min: int | None = None,
+    files: str | None = None,
+    vec_seconds: float | None = None,
 ) -> int:
     """One term-range shard of the merge-emitted warm cache: bulk-
     decode the range's hot terms (warm_terms_bulk — the exact same
@@ -3008,7 +3266,7 @@ def emit_warm_shard(
     out = r.warm_terms_bulk(todo, maps=maps) if todo else {}
     return _write_warm_dir(
         dd, out, lo, hi, sha, min_entries, dense_k=int(dense[1][-1]),
-        vec_min=vec_min,
+        vec_min=vec_min, files=files, vec_seconds=vec_seconds,
     )
 
 
@@ -3021,6 +3279,8 @@ def emit_warm_hot(
     dl_space,
     maps,
     vec_min: int | None = None,
+    files: str | None = None,
+    vec_seconds: float | None = None,
 ) -> int:
     """One ultra-hot split term's warm dir (shard=hot-<term>): the
     term left the term-range scheme at merge (doc-range sub-shards),
@@ -3040,12 +3300,16 @@ def emit_warm_hot(
     out = {t: v for t, v in out.items() if v[0].size >= min_entries}
     return _write_warm_dir(
         dd, out, int(term), int(term) + 1, sha, min_entries,
-        dense_k=int(dense[1][-1]), vec_min=vec_min,
+        dense_k=int(dense[1][-1]), vec_min=vec_min, files=files,
+        vec_seconds=vec_seconds,
     )
 
 
 def emit_warm_cache(
-    index_dir: str, min_entries: int = 10_000, shared=None
+    index_dir: str,
+    min_entries: int = 10_000,
+    shared=None,
+    vec_min: int | None = None,
 ) -> int:
     """Post-merge distributed warm-cache build: one task per merged
     term-range shard persists its range's warm representation, making
@@ -3094,13 +3358,28 @@ def emit_warm_cache(
     # (MICROFTS_WARM_TASKS's measured rationale — in the emit-after-
     # merge page-hot flow, uncapped 32-way fan-out measured 29-38 s
     # vs 15-19 s at cap 6 on this box): cap in-flight tasks by
-    # giving each 1/cap of the cluster's cores.
-    # The cap is cluster-wide; multi-node deployments with per-host
-    # buses should set MICROFTS_EMIT_TASKS ≈ 6 × n_hosts, or 0 to
-    # run every shard concurrently.
-    vec_min = _vec_min_default()  # driver-evaluated: workers may not
-    # see late env changes
-    cap = int(os.environ.get("MICROFTS_EMIT_TASKS", "6"))
+    # giving each 1/cap of the cluster's cores. The default cap is
+    # per-node-knee x live-node count (merge._emit_pool_cap), so
+    # multi-node emission scales with the cluster instead of
+    # serializing at one host's knee; MICROFTS_EMIT_TASKS overrides
+    # (0 = run every shard concurrently).
+    if vec_min is None:
+        vec_min = _vec_min_default()  # driver-evaluated: workers may
+        # not see late env changes; merge_index passes its ambient-
+        # budgeted effective value through instead
+    files_mode = _warm_files_mode()  # same driver-evaluation contract
+    from .merge import _emit_pool_cap
+
+    cap = _emit_pool_cap()
+    # per-dir dense-vector TIME budget (see _write_warm_dir): total
+    # MICROFTS_VEC_BUDGET_SECONDS spread over this pool's dirs
+    _vsec_total = float(os.environ.get("MICROFTS_VEC_BUDGET_SECONDS", "8"))
+    _n_dirs = merged["n_shards"] + len(hot_terms)
+    vec_seconds = (
+        _vsec_total * max(1, cap or _n_dirs) / max(1, _n_dirs)
+        if _vsec_total > 0
+        else None
+    )
     ncpu = 1.0
     if cap > 0:
         avail = int(_ray.cluster_resources().get("CPU", cap))
@@ -3117,7 +3396,8 @@ def emit_warm_cache(
         dense, dls, mps = _ray.get(shared_ref)
         return ews(
             index_dir, sha, shard, lo, hi, min_entries, dense, dls, mps,
-            hot_exclude=hot_terms, vec_min=vec_min,
+            hot_exclude=hot_terms, vec_min=vec_min, files=files_mode,
+            vec_seconds=vec_seconds,
         )
 
     @_ray.remote(num_cpus=ncpu)
@@ -3131,7 +3411,7 @@ def emit_warm_cache(
         dense, dls, mps = _ray.get(shared_ref)
         return ewh(
             index_dir, sha, term, min_entries, dense, dls, mps,
-            vec_min=vec_min,
+            vec_min=vec_min, files=files_mode, vec_seconds=vec_seconds,
         )
 
     # driver-side resume pre-check: dirs the merge already staged
@@ -3180,6 +3460,12 @@ def emit_warm_cache(
             shutil.rmtree(p, ignore_errors=True)
             if store is not None:
                 store.drop_prefix.remote(p)  # free the plasma copies
+    if store is not None and files_mode == "async":
+        # fire-and-forget: the store actor writes the deferred
+        # keys/contribs npy files (the restart fallback) AFTER the
+        # index is servable — single-threaded, so the 10-20 MB/s disk
+        # sees one gentle sequential writer instead of 6
+        store.persist_files.remote()
     return n_terms
 
 

@@ -450,13 +450,16 @@ def test_merge_emitted_warm_cache(corpus_dir, tmp_path_factory, oracle):
 
 
 def test_merge_inline_warm_emission_bit_identical(
-    corpus_dir, tmp_path_factory, oracle
+    corpus_dir, tmp_path_factory, oracle, monkeypatch
 ):
     """merge_index(emit_warm=True) stages each shard's warm dir from
     the merge task's IN-MEMORY blob table (no re-read of the merge
     output): every emitted dir must carry the staged provenance flag,
     and the cache must be BYTE-identical to one emitted by the
-    file-reading fallback path (emit_warm_cache on a cold index)."""
+    file-reading fallback path (emit_warm_cache on a cold index).
+    Pinned to MICROFTS_WARM_FILES=inline — this test's subject is the
+    npy FILE bytes, which the default async mode writes later (the
+    async flow has its own test below)."""
     import glob
     import json
     import os
@@ -464,6 +467,8 @@ def test_merge_inline_warm_emission_bit_identical(
 
     from microfts_ray.pipelines.merge import merge_index
     from microfts_ray.pipelines.query import emit_warm_cache
+
+    monkeypatch.setenv("MICROFTS_WARM_FILES", "inline")
 
     paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
     tmp = str(tmp_path_factory.mktemp("iwe"))
@@ -922,6 +927,13 @@ def test_warmstore_serves_without_files(corpus_dir, tmp_path_factory, oracle):
     build_index(paths, idx, target_rows_per_part=30)
     merge_index(idx, n_shards=4, emit_warm=True, warm_inline=True,
                 warm_min_entries=50)
+    # drain the (default-async) npy persistence so there are files to
+    # delete — the subject here is plasma-without-files serving
+    import ray as _ray
+
+    from microfts_ray.pipelines.query import _warmstore
+
+    _ray.get(_warmstore().persist_files.remote())
     npys = glob.glob(os.path.join(idx, "warmcache", "*", "shard=*", "*.npy"))
     assert npys
     for p in npys:
@@ -1005,3 +1017,99 @@ def test_sharded_service_from_warmstore(corpus_dir, tmp_path_factory, oracle):
         assert [(r["doc_id"], r["chunk_id"], r["score"]) for r in got] == [
             (r["doc_id"], r["chunk_id"], r["score"]) for r in want
         ], q
+
+
+def test_emit_pool_cap_scales_with_nodes(monkeypatch):
+    """The warm-emission fan-out cap defaults to per-node-knee x
+    live-node count (a single-host constant would serialize emission
+    on a multi-node cluster); MICROFTS_EMIT_TASKS still overrides."""
+    import ray as _ray
+
+    from microfts_ray.pipelines.merge import _emit_pool_cap
+
+    monkeypatch.delenv("MICROFTS_EMIT_TASKS", raising=False)
+
+    def nodes4():
+        return [
+            {"Alive": True, "Resources": {"CPU": 8.0}},
+            {"Alive": True, "Resources": {"CPU": 8.0}},
+            {"Alive": True, "Resources": {"CPU": 8.0}},
+            {"Alive": True, "Resources": {"CPU": 8.0}},
+            {"Alive": False, "Resources": {"CPU": 8.0}},  # dead: excluded
+            {"Alive": True, "Resources": {}},  # head-only node: excluded
+        ]
+
+    monkeypatch.setattr(_ray, "nodes", nodes4)
+    assert _emit_pool_cap() == 6 * 4
+    monkeypatch.setattr(_ray, "nodes", lambda: [
+        {"Alive": True, "Resources": {"CPU": 32.0}}
+    ])
+    assert _emit_pool_cap() == 6  # single node: unchanged behavior
+    monkeypatch.setenv("MICROFTS_EMIT_TASKS", "3")
+    assert _emit_pool_cap() == 3  # explicit override wins
+    monkeypatch.setenv("MICROFTS_EMIT_TASKS", "0")
+    assert _emit_pool_cap() == 0  # 0 = uncapped sentinel preserved
+
+
+def test_warm_files_async_persist_and_restartability(
+    corpus_dir, tmp_path_factory, oracle
+):
+    """Default (async) npy persistence: right after merge_index the
+    warm cache serves from plasma with NO npy files on the
+    time-to-servable path; store.persist_files then writes the
+    restart-fallback files, and a reader forced OFF plasma
+    (MICROFTS_WARMSTORE=0) loads them with oracle-identical serving."""
+    import glob
+    import json
+    import os
+
+    import ray as _ray
+
+    from microfts_ray.pipelines.merge import merge_index
+    from microfts_ray.pipelines.query import IndexReader, _warmstore
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("asyncwf"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    merge_index(idx, n_shards=4, emit_warm=True, warm_inline=True,
+                warm_min_entries=50)
+    markers = glob.glob(os.path.join(idx, "warmcache", "*", "sharded.json"))
+    assert len(markers) == 1
+    gen_dir = os.path.dirname(markers[0])
+    with open(markers[0]) as f:
+        marker = json.load(f)
+    # plasma-backed serving works regardless of file state
+    r = IndexReader(idx)
+    assert r.prewarm(min_entries=50) > 0
+    got = r.bm25_topk("def", k=10)
+    want = oracle.bm25_topk("def", k=10)
+    assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+        (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+    ]
+    # drain the async persist (fire-and-forget in production; awaited
+    # here) then verify every warm dir has its npy restart fallback
+    store = _warmstore()
+    assert store is not None
+    _ray.get(store.persist_files.remote())
+    for name in marker["dirs"]:
+        meta_p = os.path.join(gen_dir, name, "meta.json")
+        with open(meta_p) as f:
+            meta = json.load(f)
+        if not meta["terms"]:
+            continue  # empty range: nothing to persist
+        for fn in ("keys.npy", "contribs.npy"):
+            assert os.path.exists(os.path.join(gen_dir, name, fn)), (
+                f"{name}/{fn} missing after persist_files"
+            )
+    # a fresh reader with the store DISABLED must load from the files
+    os.environ["MICROFTS_WARMSTORE"] = "0"
+    try:
+        r2 = IndexReader(idx)
+        assert r2._load_warmcache(min_entries=50)
+        got2 = r2.bm25_topk("def", k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got2] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ]
+    finally:
+        del os.environ["MICROFTS_WARMSTORE"]
