@@ -500,6 +500,9 @@ def merge_index(
     # just-written shard files are still page-hot for the re-read).
     warm_ctx = None
     warm_shared_vals = None
+    import time as _time
+
+    _tp0 = _time.perf_counter()
     if emit_warm and mode == "stack" and dead is None:
         # create the warm store FIRST, on the driver: a named
         # non-detached actor dies with its creator, and the emitting
@@ -509,13 +512,40 @@ def merge_index(
         from .query import IndexReader as _IR, _warmstore as _ws
 
         _ws(create=True)
+        # park the docs sidecars FIRST, fanned out as Ray tasks (the
+        # serial driver loop was ~seconds of evicted-disk reads):
+        # serving derives the dense space, chunk-dl space and doc
+        # metadata from them on every reader construction, and the
+        # reclaimer evicts them as readily as everything else. The
+        # IndexReader constructed right after then reads them from
+        # plasma.
+        docs_rels = sorted(
+            {
+                p["segment"]["docs"]
+                for p in manifest["partitions"]
+                if p["segment"].get("docs")
+            }
+        )
+        if docs_rels:
+            pkg_root_prk = _pkg_root()
+
+            @ray.remote(num_cpus=0.5)
+            def _park_many(rels: list[str]) -> int:
+                import sys
+
+                if pkg_root_prk not in sys.path:
+                    sys.path.insert(0, pkg_root_prk)
+                from microfts_ray.pipelines.merge import (
+                    _park_index_file as _pif,
+                )
+
+                for rel in rels:
+                    _pif(os.path.join(index_dir, rel))
+                return len(rels)
+
+            nt = min(8, len(docs_rels))
+            ray.get([_park_many.remote(docs_rels[i::nt]) for i in range(nt)])
         _r0 = _IR(index_dir)
-        # park the docs sidecars alongside the (to-be-written) merged
-        # shards: serving derives the dense space, chunk-dl space and
-        # doc metadata from them on every reader construction, and the
-        # reclaimer evicts them as readily as everything else
-        for rel in sorted(set(_r0._pid_docs.values())):
-            _park_index_file(os.path.join(index_dir, rel))
         if _r0._dense_space() is not None:
             try:
                 _dls = _r0._chunk_dl_space()
@@ -547,10 +577,29 @@ def merge_index(
                 )
                 n_units_est = n_shards + len(hot_subs_of)
                 emit_cap = _emit_pool_cap()
+                # <= 0 forces the build: no time budget, no ambient
+                # gate (tests + deployments that always want vectors)
                 per_dir_sec = (
                     vec_sec_total * max(1, emit_cap or n_units_est)
                     / max(1, n_units_est)
                     if vec_sec_total > 0
+                    else -1.0
+                )
+                # per-dir DECODE time budget, same shape: warm depth
+                # itself adapts to the ambient episode — each dir
+                # decodes hottest-first and stops when its slice is
+                # spent; the un-emitted tail (mid-mass terms) decodes
+                # lazily per term at query time from the plasma-parked
+                # shards, which costs ~MBs per term. At healthy
+                # bandwidth a dir decodes fully well inside its slice
+                # (bands unchanged).
+                dec_sec_total = float(
+                    os.environ.get("MICROFTS_WARM_DECODE_SECONDS", "45")
+                )
+                per_dir_dec = (
+                    dec_sec_total * max(1, emit_cap or n_units_est)
+                    / max(1, n_units_est)
+                    if dec_sec_total > 0
                     else None
                 )
                 # files mode is driver-evaluated and threaded through
@@ -558,6 +607,7 @@ def merge_index(
                 warm_ctx = (
                     ray.put(warm_shared_vals), staging,
                     int(warm_min_entries), _vmd(), _wfm(), per_dir_sec,
+                    per_dir_dec,
                 )
 
     def run_unit(batch: dict):
@@ -719,6 +769,7 @@ def merge_index(
     ds = ray.data.from_items(units, override_num_blocks=len(units))
     kwargs = {"concurrency": concurrency} if concurrency else {}
     cap = _emit_pool_cap()
+    _tp1 = _time.perf_counter()
     shard_out = ds.map_batches(run_unit, batch_size=1, num_cpus=1, **kwargs)
     if warm_ctx is None:
         shard_out.materialize()
@@ -731,7 +782,8 @@ def merge_index(
         # amortize the first-allocation page-fault tax that one-shot
         # emit tasks each paid, and decode overlaps the rest of the
         # merge instead of serializing behind it.
-        shared_ref_p, staging_p, wmin_p, vec_min_p, files_p, vec_sec_p = warm_ctx
+        (shared_ref_p, staging_p, wmin_p, vec_min_p, files_p,
+         vec_sec_p, dec_sec_p) = warm_ctx
 
         class _EmitWarm:
             def __init__(self):
@@ -786,10 +838,50 @@ def merge_index(
                             ["w_dirname", "w_lo", "w_hi"]
                         )
                         td0 = _time.perf_counter()
-                        out = self.r.warm_from_table(
-                            data, _np.unique(data["term"].to_numpy()),
-                            self.mps,
+                        # hottest-first decode under the per-dir time
+                        # budget: terms ordered by posting mass and
+                        # decoded in ~2M-entry chunks; when the slice
+                        # is spent the rest of this dir's terms go
+                        # lazy (query-time per-term decode against the
+                        # plasma-parked shards)
+                        t_np = data["term"].to_numpy()
+                        n_np = data["n"].to_numpy().astype(_np.int64)
+                        uniq_t, inv_t = _np.unique(
+                            t_np, return_inverse=True
                         )
+                        tmass = _np.bincount(inv_t, weights=n_np)
+                        order_t = _np.argsort(-tmass, kind="stable")
+                        out = {}
+                        n_deferred = 0
+                        pos = 0
+                        while pos < order_t.size:
+                            if (
+                                pos
+                                and dec_sec_p is not None
+                                and _time.perf_counter() - td0
+                                > dec_sec_p
+                            ):
+                                n_deferred = order_t.size - pos
+                                break
+                            chunk_terms = []
+                            acc = 0
+                            while pos < order_t.size and (
+                                acc < 2_000_000 or not chunk_terms
+                            ):
+                                j = int(order_t[pos])
+                                chunk_terms.append(int(uniq_t[j]))
+                                acc += int(tmass[j])
+                                pos += 1
+                            out.update(
+                                self.r.warm_from_table(
+                                    data,
+                                    _np.array(
+                                        sorted(chunk_terms),
+                                        dtype=_np.int64,
+                                    ),
+                                    self.mps,
+                                )
+                            )
                         _wp(
                             {
                                 "dir": str(dn),
@@ -797,6 +889,7 @@ def merge_index(
                                     _time.perf_counter() - td0, 3
                                 ),
                                 "rows": int(data.num_rows),
+                                "terms_deferred": int(n_deferred),
                             }
                         )
                         _wwd(
@@ -827,6 +920,7 @@ def merge_index(
             ).materialize()
         finally:
             ctx.target_max_block_size = prev_tmbs
+    _tp2 = _time.perf_counter()
     hot_entries: list[dict] = []
     if hot_subs_of:
         for t in hot_subs_of:
@@ -899,5 +993,16 @@ def merge_index(
             # inline mode already parked the tuple in plasma: pass the
             # REF so the fallback pass doesn't put a second copy
             shared=warm_ctx[0] if warm_ctx is not None else warm_shared_vals,
+        )
+    if emit_warm:
+        from .query import _warm_prof as _wpf
+
+        _wpf(
+            {
+                "dir": "_driver",
+                "setup_s": round(_tp1 - _tp0, 3),
+                "units_s": round(_tp2 - _tp1, 3),
+                "finalize_s": round(_time.perf_counter() - _tp2, 3),
+            }
         )
     return manifest

@@ -174,26 +174,20 @@ class IndexReader:
         # sidecars, parked at merge time): ONE batched store RPC, then
         # every parquet open below is a zero-copy shared-memory read
         self._file_buffers = self._fetch_file_buffers()
-        import os as _os
-
-        def _seg(e):
-            return _Segment(
-                index_dir,
-                e,
-                buf=self._file_buffers.get(
-                    _os.path.abspath(
-                        _os.path.join(index_dir, e["segment"]["terms"])
-                    )
-                ),
-            )
-
-        self.segments = [_seg(e) for e in self.manifest["partitions"]]
+        # build-partition segments are LAZY: a merged reader serves
+        # every query from the term-range shards and never opens them
+        # — eagerly constructing ~N_partitions segment objects read
+        # each one's term directory from (reclaimed) disk at every
+        # reader construction, a measured multi-second setup tax paid
+        # by the merge driver, every emit actor, and every serving
+        # process
+        self._segments: list[_Segment] | None = None
         # prefer merged term-range shards (pipelines/merge.py): one
         # posting run per term instead of one per build partition
         merged = self.manifest.get("merged")
         if merged:
             self.n_shards = merged["n_shards"]
-            self.shards = [_seg(e) for e in merged["shards"]]
+            self.shards = [self._make_segment(e) for e in merged["shards"]]
             self._shard_bounds = np.array(merged["bounds"], dtype=np.int64)
             # ultra-hot terms split by doc range into their own
             # sub-shards (merge.write_hot_term_shards): routed here,
@@ -201,7 +195,7 @@ class IndexReader:
             self.hot_segments: dict[int, list[_Segment]] = {}
             for e in merged.get("hot", []):
                 self.hot_segments.setdefault(int(e["term"]), []).append(
-                    _seg(e)
+                    self._make_segment(e)
                 )
         else:
             self.n_shards = 0
@@ -254,6 +248,29 @@ class IndexReader:
             for p in self.manifest["partitions"]
             if p["segment"].get("docs")
         }
+
+    def _make_segment(self, e: dict) -> "_Segment":
+        import os
+
+        return _Segment(
+            self.index_dir,
+            e,
+            buf=self._file_buffers.get(
+                os.path.abspath(
+                    os.path.join(self.index_dir, e["segment"]["terms"])
+                )
+            ),
+        )
+
+    @property
+    def segments(self) -> "list[_Segment]":
+        """Build-partition segments, constructed on first use (see
+        __init__ — merged readers never need them)."""
+        if self._segments is None:
+            self._segments = [
+                self._make_segment(e) for e in self.manifest["partitions"]
+            ]
+        return self._segments
 
     def _fetch_file_buffers(self) -> dict:
         """One batched warm-store RPC for every index file this reader
@@ -993,8 +1010,13 @@ class IndexReader:
                 import os as _os
                 import time as _time
 
+                # small default: with parked vectors this loop is all
+                # cache hits (~0 s); when the emission budget skipped
+                # vectors (collapse episode) queries route to the
+                # byte-frugal MaxScore path (_prefer_maxscore), so
+                # burning warmup time building them here buys little
                 budget = float(
-                    _os.environ.get("MICROFTS_PREWARM_VEC_SECONDS", "8")
+                    _os.environ.get("MICROFTS_PREWARM_VEC_SECONDS", "2")
                 )
                 t0 = _time.perf_counter()
                 for t, n in sorted(
@@ -1571,12 +1593,15 @@ class IndexReader:
             import pyarrow.parquet as _pq
 
             from microfts_ray.oracle import has_arg as _has
+            from microfts_ray.pipelines.query import (
+                _source_parquet as _spq,
+            )
             from microfts_ray.stages.tokenize import split_lines as _sl
 
             pat = _re.compile(pat_src) if pat_src else None
             out = []
             for path, u_rg, u_row, c_upos, c_chunk, c_gpos in batch:
-                f = _pq.ParquetFile(path)
+                f = _spq(path)
                 urgs = _np.unique(u_rg)
                 tbl = f.read_row_groups(
                     [int(x) for x in urgs], columns=["content"]
@@ -1686,14 +1711,25 @@ class IndexReader:
                 if b > a:
                     items.append((path, rgs[a:b], rows[a:b], ids[a:b]))
 
+        from .build import _pkg_root as _pr
+
+        pkg_root_f = _pr()
+
         def fetch(batch: list) -> list:
+            import sys as _sys
+
+            if pkg_root_f not in _sys.path:
+                _sys.path.insert(0, pkg_root_f)
             import numpy as _np
             import pyarrow as _pa
-            import pyarrow.parquet as _pq
+
+            from microfts_ray.pipelines.query import (
+                _source_parquet as _spq,
+            )
 
             out = []
             for path, rg_a, row_a, id_a in batch:
-                f = _pq.ParquetFile(path)
+                f = _spq(path)
                 u = _np.unique(rg_a)
                 tbl = f.read_row_groups([int(x) for x in u], columns=["content"])
                 nr = _np.array(
@@ -2075,7 +2111,17 @@ class IndexReader:
         scattered at the term's dense keys (keys are UNIQUE per term).
         Vectors drive CANDIDATE SELECTION only — final scores come
         from an exact float64 rescore — so float32 halves the memory
-        traffic of the query-time adds on this bandwidth-bound box."""
+        traffic of the query-time adds on this bandwidth-bound box.
+
+        The lazy BUILD is ambient-gated: a build touches ~3x 4*K
+        bytes (zero-fill + scatter + first use), a one-time cost that
+        amortizes at healthy bandwidth but measured 63 s for the
+        first 20-query pass inside a collapse episode. Below the gate
+        the caller falls back to the direct sorted-add (~2x the
+        steady per-query bytes, no build spike — first pass == steady
+        pass), and the build happens on the first query after the
+        episode lifts (the probe is re-measured every ~20 s).
+        Plasma-parked vectors load regardless — they cost nothing."""
         vec = self._vec_cache.get(g)
         if vec is None:
             sk = self._sorted_keys(g)
@@ -2084,8 +2130,29 @@ class IndexReader:
             K = int(self._dense[1][-1])
             if self._vec_bytes + K * 4 > self._vec_budget:
                 return None
+            if _cached_gbps() < 1.5:
+                return None  # collapse: no build spike, sorted-add
+            # per-probe-window build-time budget: the episode can flip
+            # mid-pass (probe healthy at query 1, collapsed by query
+            # 5), and an unbounded build loop then spikes the first
+            # pass anyway — cap cumulative build seconds per probe
+            # window; vectors keep accumulating across windows
+            import os as _os
+            import time as _time
+
+            win = _PROBE_CACHE["t"]
+            if getattr(self, "_vec_build_win", None) != win:
+                self._vec_build_win = win
+                self._vec_build_spent = 0.0
+            budget = float(
+                _os.environ.get("MICROFTS_QUERY_VEC_SECONDS", "2")
+            )
+            if budget > 0 and self._vec_build_spent > budget:
+                return None
+            tb0 = _time.perf_counter()
             vec = np.zeros(K, dtype=np.float32)
             vec[sk[0]] = sk[1]  # ascending keys: near-sequential writes
+            self._vec_build_spent += _time.perf_counter() - tb0
             self._vec_cache[g] = vec
             self._vec_bytes += vec.nbytes
         return vec
@@ -2927,6 +2994,28 @@ class _WarmStoreImpl:
     def get_dir(self, dirpath: str):
         return self._dirs.get(dirpath)
 
+    def park_path(self, path: str, max_bytes: int = 64 << 20) -> bool:
+        """Read a file from disk INSIDE the store actor and park it.
+        Fire-and-forget target for scan workers on a cache miss: the
+        single-threaded actor dedupes concurrent requests and the
+        10-20 MB/s disk sees ONE sequential reader — 16 scan tasks
+        each full-reading the same source files measured a 5x
+        search_and regression (the park storm)."""
+        import os
+
+        import numpy as _np
+
+        if path in self._files:
+            return True
+        try:
+            if os.path.getsize(path) > max_bytes:
+                return False
+            with open(path, "rb") as f:
+                data = _np.frombuffer(f.read(), dtype=_np.uint8)
+        except OSError:
+            return False
+        return self.put_file_bytes(path, data)
+
     def put_file_bytes(self, path: str, data) -> bool:
         """Park one index file's bytes (keyed by absolute path).
         Refused over the byte budget — callers fall back to disk. A
@@ -3049,6 +3138,83 @@ def _warmstore(create: bool = False):
     return h
 
 
+_PROBE_CACHE: dict = {"t": 0.0, "v": None}
+
+
+def _cached_gbps(ttl: float = 20.0) -> float:
+    """Per-process cached single-stream bandwidth probe (~36 MB of
+    traffic, re-measured every `ttl` seconds). This box's effective
+    bandwidth flips 0.04-10 GB/s on a seconds timescale; paths that
+    trade a large one-time byte cost for faster steady state (dense
+    vector builds) must check the ambient rate, not assume the one
+    the bands were recorded at."""
+    import time as _time
+
+    now = _time.monotonic()
+    if _PROBE_CACHE["v"] is not None and now - _PROBE_CACHE["t"] < ttl:
+        return _PROBE_CACHE["v"]
+    a = np.random.rand(2 * 1024 * 1024)
+    b = np.random.rand(2 * 1024 * 1024)
+    c = np.empty_like(a)
+    t0 = _time.perf_counter()
+    for _ in range(3):
+        np.add(a, b, out=c)
+    gbps = 3 * 3 * 16 / 1024 / (_time.perf_counter() - t0)
+    _PROBE_CACHE.update(t=now, v=gbps)
+    return gbps
+
+
+_SRC_BUF_CACHE: dict[str, object] = {}  # per-process: path -> bytes|False
+
+
+def _source_parquet(path: str, max_park: int = 64 << 20):
+    """ParquetFile over a source file, preferring plasma-parked bytes.
+    On first use of a modest-sized file (<= max_park) with a live warm
+    store, the file is read ONCE fully — a sequential read, kinder to
+    a reclaimed 10-20 MB/s disk than row-group seeks — parked in the
+    store's budgeted file cache, and every later scan on this node
+    reads it zero-copy from shared memory (fuzzy/search re-read the
+    same source files every query; the reclaimer evicts them between
+    queries). Misses and oversize files open from disk as before."""
+    import os
+
+    apath = os.path.abspath(path)
+    buf = _SRC_BUF_CACHE.get(apath)
+    if buf is None:
+        buf = False
+        store = _warmstore()
+        if store is not None:
+            import ray as _ray
+
+            try:
+                size = os.path.getsize(apath)
+                ent = _ray.get(store.file_refs.remote([apath]))[0]
+                if ent is not None:
+                    ref, nbytes = ent
+                    if nbytes == size:
+                        buf = (
+                            _ray.get(ref)
+                            if isinstance(ref, _ray.ObjectRef)
+                            else ref
+                        )
+                elif size <= max_park:
+                    # miss: fire-and-forget — the STORE reads + parks
+                    # (one sequential reader); THIS call proceeds from
+                    # disk, the next one hits plasma. Workers reading
+                    # + parking the same files themselves stormed the
+                    # disk (measured 5x search_and regression).
+                    store.park_path.remote(apath, max_park)
+            except Exception:
+                buf = False
+        # cache a hit permanently; re-check the store next call on a
+        # miss (the fire-and-forget park may have landed)
+        if buf is not False:
+            _SRC_BUF_CACHE[apath] = buf
+    if buf is False or buf is None:
+        return pq.ParquetFile(path)
+    return pq.ParquetFile(pa.BufferReader(pa.py_buffer(buf)))
+
+
 def _warm_prof(record: dict) -> None:
     """Append one JSON line of warm-emission phase timings to
     $MICROFTS_WARM_PROF (no-op unless set). Lines are < PIPE_BUF so
@@ -3165,14 +3331,25 @@ def _write_warm_dir(
             # Skipped terms build lazily at first query (_dense_vec).
             vm = vec_min if vec_min is not None else _vec_min_default()
             tv0 = _time.perf_counter()
+            # ambient gate first: inside a deep collapse even ONE
+            # 33 MB scatter costs seconds, and serving's sorted-add
+            # fallback makes vectors optional — skip them all rather
+            # than stretch warm_build (they build lazily or on the
+            # next healthy-generation emission). vec_seconds <= 0
+            # FORCES the build (no budget, no gate — the threaded
+            # form of MICROFTS_VEC_BUDGET_SECONDS=0).
+            force = vec_seconds is not None and vec_seconds <= 0
+            degraded = (not force) and _cached_gbps() < 1.0
             for t in sorted(terms, key=lambda t: -out[t][0].size):
                 k, c = out[t][0], out[t][1]
                 if k.size < vm:
                     break  # descending: nothing smaller is eligible
-                if (
-                    vec_seconds is not None
-                    and vecs
-                    and _time.perf_counter() - tv0 > vec_seconds
+                if not force and (
+                    degraded
+                    or (
+                        vec_seconds is not None
+                        and _time.perf_counter() - tv0 > vec_seconds
+                    )
                 ):
                     break  # budget spent: remaining vectors go lazy
                 v = np.zeros(dense_k, dtype=np.float32)
@@ -3378,7 +3555,7 @@ def emit_warm_cache(
     vec_seconds = (
         _vsec_total * max(1, cap or _n_dirs) / max(1, _n_dirs)
         if _vsec_total > 0
-        else None
+        else -1.0  # <= 0 forces the build (no budget, no gate)
     )
     ncpu = 1.0
     if cap > 0:

@@ -971,6 +971,10 @@ def test_warmstore_prebuilt_dense_vectors(corpus_dir, tmp_path_factory):
     tmp = str(tmp_path_factory.mktemp("wvec"))
     idx = f"{tmp}/idx"
     os.environ["MICROFTS_VEC_MIN"] = "50"
+    # 0 = force the pre-build (no time budget, no ambient gate): this
+    # test's subject is the parked vectors themselves, which a live
+    # collapse episode would legitimately skip
+    os.environ["MICROFTS_VEC_BUDGET_SECONDS"] = "0"
     try:
         build_index(paths, idx, target_rows_per_part=30)
         merge_index(idx, n_shards=4, emit_warm=True, warm_inline=True,
@@ -986,6 +990,7 @@ def test_warmstore_prebuilt_dense_vectors(corpus_dir, tmp_path_factory):
             assert np.array_equal(local, vec)
     finally:
         del os.environ["MICROFTS_VEC_MIN"]
+        del os.environ["MICROFTS_VEC_BUDGET_SECONDS"]
 
 
 def test_sharded_service_from_warmstore(corpus_dir, tmp_path_factory, oracle):
@@ -1113,3 +1118,33 @@ def test_warm_files_async_persist_and_restartability(
         ]
     finally:
         del os.environ["MICROFTS_WARMSTORE"]
+
+
+def test_bm25_ambient_gated_vector_build_identical(reader, oracle, monkeypatch):
+    """Inside a bandwidth-collapse episode the lazy dense-vector build
+    is skipped (one build touches ~100 MB — the round-3 first-pass
+    spike) and dense scoring falls back to per-term sorted adds;
+    results must stay oracle-identical, no vectors may be built, and
+    with a healthy ambient the build resumes."""
+    import microfts_ray.pipelines.query as qmod
+
+    monkeypatch.setattr(reader, "_vec_min", 1)
+    reader._vec_cache.clear()
+    reader._vec_bytes = 0
+    monkeypatch.setattr(qmod, "_cached_gbps", lambda ttl=20.0: 0.1)
+    for query in ["def", "import mod_1", "def f_1(a, b):"]:
+        got = reader.bm25_topk(query, k=10, prune_threshold=0)
+        want = oracle.bm25_topk(query, k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ], query
+    assert not reader._vec_cache  # collapse: no build spike
+    monkeypatch.setattr(qmod, "_cached_gbps", lambda ttl=20.0: 8.0)
+    got = reader.bm25_topk("def", k=10, prune_threshold=0)
+    want = oracle.bm25_topk("def", k=10)
+    assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+        (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+    ]
+    assert reader._vec_cache  # healthy: builds resumed
+    reader._vec_cache.clear()
+    reader._vec_bytes = 0
