@@ -999,6 +999,36 @@ class IndexReader:
         this index generation will follow."""
 
         def _finish_from_cache() -> int:
+            import os as _os
+            import time as _time
+
+            # TOP-UP: the emission's decode budget may have deferred
+            # mid-mass warm terms inside a collapse episode; decode
+            # the hottest missing ones here under a small time budget
+            # (reads hit the plasma-parked shards) so the first query
+            # pass doesn't pay them serially. No-op after a full-depth
+            # emission.
+            topup = float(
+                _os.environ.get("MICROFTS_PREWARM_TOPUP_SECONDS", "4")
+            )
+            if topup > 0 and self._dense_space() is not None:
+                totals: dict[int, int] = {}
+                for seg in self._all_term_sources():
+                    for t, n in zip(seg.terms.tolist(), seg.ns.tolist()):
+                        totals[t] = totals.get(t, 0) + int(n)
+                t0 = _time.perf_counter()
+                for t, n in sorted(totals.items(), key=lambda kv: -kv[1]):
+                    if n < min_entries:
+                        break
+                    if t in self._sorted_kc:
+                        continue
+                    if term_range is not None and not (
+                        term_range[0] <= t < term_range[1]
+                    ):
+                        continue
+                    if _time.perf_counter() - t0 > topup:
+                        break
+                    self._sorted_keys(int(t))
             if self._dense_space() is not None:
                 # eager-build MISSING dense vectors hottest-first,
                 # TIME-BUDGETED: parked vectors are free (plasma

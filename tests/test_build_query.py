@@ -1148,3 +1148,49 @@ def test_bm25_ambient_gated_vector_build_identical(reader, oracle, monkeypatch):
     assert reader._vec_cache  # healthy: builds resumed
     reader._vec_cache.clear()
     reader._vec_bytes = 0
+
+
+def test_warm_decode_budget_defers_tail_serving_identical(
+    corpus_dir, tmp_path_factory, oracle, monkeypatch
+):
+    """With a near-zero decode budget the emission emits only each
+    dir's hottest chunk and defers the tail (meta lists just the
+    emitted terms); a reader must load the partial cache and stay
+    oracle-identical — deferred terms decode lazily per term at query
+    time. This is the ambient-collapse warm-depth contract."""
+    import glob
+    import json
+    import os
+
+    from microfts_ray.pipelines.merge import merge_index
+
+    monkeypatch.setenv("MICROFTS_WARM_DECODE_SECONDS", "0.001")
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("decbudget"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    merge_index(idx, n_shards=4, emit_warm=True, warm_inline=True,
+                warm_min_entries=50)
+    markers = glob.glob(os.path.join(idx, "warmcache", "*", "sharded.json"))
+    assert len(markers) == 1
+    gen_dir = os.path.dirname(markers[0])
+    # the budget must actually have deferred terms somewhere: the
+    # emitted term count should be below a full-depth emission's
+    n_emitted = 0
+    for name in json.load(open(markers[0]))["dirs"]:
+        with open(os.path.join(gen_dir, name, "meta.json")) as f:
+            n_emitted += len(json.load(f)["terms"])
+    r = IndexReader(idx)
+    assert r._load_warmcache(min_entries=50)
+    assert len(r._sorted_kc) == n_emitted
+    for q in ["def", "import mod_1", "def f_1(a, b):"]:
+        got = r.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ], q
+    got = r.search("import", "mod_1")
+    want = oracle.search("import", "mod_1")
+    assert [(x["doc_id"], x["chunk_id"]) for x in got] == [
+        (x["doc_id"], x["chunk_id"]) for x in want
+    ]
