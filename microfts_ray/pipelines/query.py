@@ -222,6 +222,12 @@ class IndexReader:
         # dense per-term score vectors (hot-term fast path)
         self._vec_cache: dict[int, np.ndarray] = {}
         self._vec_bytes = 0
+        # per-term (int32 keys, f32 contribs) for the vector-less
+        # accumulator add (see _add_keys32/_add_c32)
+        self._add32_cache: dict[int, np.ndarray] = {}
+        self._addc32_cache: dict[int, np.ndarray] = {}
+        self._add32_bytes = 0
+        self._add32_budget = 1 << 30
         self._vec_min = _vec_min_default()  # vector when a term has >= this many postings
         # bytes of dense f32 vectors to hold — PER READER, so a pool
         # must divide the host budget by its actor count (QueryService
@@ -2210,7 +2216,7 @@ class IndexReader:
             sk = self._sorted_keys(g)
             if sk is None:
                 continue
-            acc[sk[0]] += sk[1].astype(np.float32)
+            acc[self._add_keys32(g, sk)] += self._add_c32(g, sk)
             any_term = True
         if len(vecs) == 1:
             acc += vecs[0]
@@ -2229,6 +2235,36 @@ class IndexReader:
         if not any_term:
             return None, doc_ids, base
         return acc, doc_ids, base
+
+    def _add_keys32(self, g: int, sk) -> np.ndarray:
+        """int32 view/copy of a term's sorted dense keys for the
+        vector-less accumulator add: the dense key space is capped at
+        2^26 (_dense_space cap), so int32 always fits, and halving
+        the gather bytes matters on this bandwidth-bound box — the
+        add path runs EVERY query for terms whose f32 vector is
+        ambient-gated off. Cached per term (bounded by the same
+        entry budget as the f32 contribs)."""
+        k32 = self._add32_cache.get(g)
+        if k32 is None:
+            k32 = sk[0].astype(np.int32)
+            if self._add32_bytes + k32.nbytes <= self._add32_budget:
+                self._add32_cache[g] = k32
+                self._add32_bytes += k32.nbytes
+        return k32
+
+    def _add_c32(self, g: int, sk) -> np.ndarray:
+        """float32 contribs for the accumulator add — the SAME values
+        `sk[1].astype(np.float32)` produced per query before, so the
+        f32 selection sums (and the slack bound that covers them) are
+        bit-identical; caching just stops re-converting 8 bytes/entry
+        on every query."""
+        c32 = self._addc32_cache.get(g)
+        if c32 is None:
+            c32 = sk[1].astype(np.float32)
+            if self._add32_bytes + c32.nbytes <= self._add32_budget:
+                self._addc32_cache[g] = c32
+                self._add32_bytes += c32.nbytes
+        return c32
 
     def _term_contrib(self, g: int, run: PostingRun) -> np.ndarray:
         contrib = self._contrib_cache.get(g)
