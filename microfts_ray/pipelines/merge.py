@@ -508,17 +508,10 @@ def merge_index(
         # non-detached actor dies with its creator, and the emitting
         # map tasks are ephemeral — driver ownership keeps the
         # plasma-resident warm set alive all session. Created before
-        # IndexReader so its docs-sidecar reads can be parked for it.
-        from .query import IndexReader as _IR, _warmstore as _ws
+        # the derivation task so its docs-sidecar reads can be parked.
+        from .query import _warmstore as _ws
 
         _ws(create=True)
-        # park the docs sidecars FIRST, fanned out as Ray tasks (the
-        # serial driver loop was ~seconds of evicted-disk reads):
-        # serving derives the dense space, chunk-dl space and doc
-        # metadata from them on every reader construction, and the
-        # reclaimer evicts them as readily as everything else. The
-        # IndexReader constructed right after then reads them from
-        # plasma.
         docs_rels = sorted(
             {
                 p["segment"]["docs"]
@@ -526,32 +519,92 @@ def merge_index(
                 if p["segment"].get("docs")
             }
         )
-        if docs_rels:
+        # cheap driver-side pre-gate for the dense space: the dense
+        # key space has at least one key per chunk, so
+        # sum(n_chunks) <= the 2^26 key cap is NECESSARY for
+        # _dense_space() to exist — at 10^12-doc scale this skips
+        # warm emission without touching a single sidecar. The exact
+        # (padded) check runs in the derivation task; in the narrow
+        # edge where padding overflows the cap the task returns None
+        # and the emit actors no-op.
+        n_chunks_tot = sum(
+            int(p.get("stats", {}).get("n_chunks", 0))
+            for p in manifest["partitions"]
+        )
+        if docs_rels and n_chunks_tot <= (1 << 26):
             pkg_root_prk = _pkg_root()
 
-            @ray.remote(num_cpus=0.5)
-            def _park_many(rels: list[str]) -> int:
+            @ray.remote(num_cpus=0)
+            def _derive_warm_shared(rels: list[str]):
+                """Park the docs sidecars, then derive the warm shared
+                tuple (dense space, chunk-dl space, global rank maps)
+                OFF the driver. This ran serially on the driver before
+                the merge dataset launched and cost 30-50 s inside a
+                bandwidth collapse (runs 8-9's setup_s); as a task its
+                OUTPUT REF is what the emit actors' __init__ blocks
+                on, so the whole setup overlaps the already-running
+                merge units. num_cpus=0 on task and parkers: both are
+                disk/bus-bound, and they must not be starved by the
+                merge units saturating the CPU pool (worst case would
+                re-serialize the setup after the merge)."""
                 import sys
 
                 if pkg_root_prk not in sys.path:
                     sys.path.insert(0, pkg_root_prk)
-                from microfts_ray.pipelines.merge import (
-                    _park_index_file as _pif,
+                import ray as _ray
+
+                from microfts_ray.pipelines.query import (
+                    IndexReader as _IRt,
                 )
 
-                for rel in rels:
-                    _pif(os.path.join(index_dir, rel))
-                return len(rels)
+                @_ray.remote(num_cpus=0)
+                def _park_many(rr: list[str]) -> int:
+                    import sys as _s
 
-            nt = min(8, len(docs_rels))
-            ray.get([_park_many.remote(docs_rels[i::nt]) for i in range(nt)])
-        _r0 = _IR(index_dir)
-        if _r0._dense_space() is not None:
-            try:
-                _dls = _r0._chunk_dl_space()
-            except KeyError:
-                _dls = None
-            warm_shared_vals = (_r0._dense, _dls, _r0._warm_maps())
+                    if pkg_root_prk not in _s.path:
+                        _s.path.insert(0, pkg_root_prk)
+                    from microfts_ray.pipelines.merge import (
+                        _park_index_file as _pif,
+                    )
+
+                    for rel in rr:
+                        _pif(os.path.join(index_dir, rel))
+                    return len(rr)
+
+                import time as _t
+
+                from microfts_ray.pipelines.query import (
+                    _warm_prof as _wpd,
+                )
+
+                t0 = _t.perf_counter()
+                nt = min(8, len(rels))
+                _ray.get(
+                    [_park_many.remote(rels[i::nt]) for i in range(nt)]
+                )
+                t1 = _t.perf_counter()
+                r0 = _IRt(index_dir)
+                if r0._dense_space() is None:
+                    return None  # padding pushed keys past the cap
+                try:
+                    dls = r0._chunk_dl_space()
+                except KeyError:
+                    dls = None
+                out = (r0._dense, dls, r0._warm_maps())
+                _wpd(
+                    {
+                        "dir": "_derive",
+                        "park_s": round(t1 - t0, 3),
+                        "derive_s": round(_t.perf_counter() - t1, 3),
+                    }
+                )
+                return out
+
+            shared_ref = _derive_warm_shared.remote(docs_rels)
+            # a ref is fine downstream: emit_warm_cache accepts an
+            # ObjectRef for `shared` (query.py) and the emit actors
+            # ray.get it in __init__
+            warm_shared_vals = shared_ref
             if warm_inline:
                 staging = os.path.join(
                     index_dir, "warmcache", f".staging-{uuid.uuid4().hex[:8]}"
@@ -605,7 +658,7 @@ def merge_index(
                 # files mode is driver-evaluated and threaded through
                 # (workers may not see late env changes)
                 warm_ctx = (
-                    ray.put(warm_shared_vals), staging,
+                    shared_ref, staging,
                     int(warm_min_entries), _vmd(), _wfm(), per_dir_sec,
                     per_dir_dec,
                 )
@@ -795,7 +848,17 @@ def merge_index(
 
                 from microfts_ray.pipelines.query import IndexReader as _IRw
 
-                dense, dls, mps = _ray.get(shared_ref_p)
+                # blocks until the off-driver derivation task (launched
+                # before the merge dataset) finishes — the merge units
+                # run meanwhile, so the wait overlaps real work
+                shared = _ray.get(shared_ref_p)
+                if shared is None:
+                    # padded dense space overflowed the key cap after
+                    # the driver's necessary-condition pre-gate passed:
+                    # no warm cache this generation, emit nothing
+                    self.r = None
+                    return
+                dense, dls, mps = shared
                 r = _IRw(index_dir)
                 r._dense = dense
                 if dls is not None:
@@ -817,6 +880,10 @@ def merge_index(
                 )
 
                 names = []
+                if self.r is None:
+                    return _pa2.table(
+                        {"dirname": _pa2.array([], _pa2.string())}
+                    )
                 if tbl.num_rows:
                     dirnames = tbl["w_dirname"].to_numpy(
                         zero_copy_only=False
@@ -854,14 +921,27 @@ def merge_index(
                         out = {}
                         n_deferred = 0
                         pos = 0
+                        # absolute per-dir deadline, enforced both
+                        # between chunks AND inside warm_from_table
+                        # (between ~128k-entry decode slices): a
+                        # single multi-million-entry hot term is one
+                        # chunk, and inside a bandwidth collapse its
+                        # unbounded decode was the 20-40 s/dir
+                        # overrun that blew warm_build past its
+                        # budget (runs 8-9: 207-227 worker-seconds
+                        # of decode vs the ~40 the budget allows)
+                        dl_abs = (
+                            td0 + dec_sec_p
+                            if dec_sec_p is not None
+                            else None
+                        )
                         while pos < order_t.size:
                             if (
                                 pos
-                                and dec_sec_p is not None
-                                and _time.perf_counter() - td0
-                                > dec_sec_p
+                                and dl_abs is not None
+                                and _time.perf_counter() > dl_abs
                             ):
-                                n_deferred = order_t.size - pos
+                                n_deferred += order_t.size - pos
                                 break
                             chunk_terms = []
                             acc = 0
@@ -872,6 +952,7 @@ def merge_index(
                                 chunk_terms.append(int(uniq_t[j]))
                                 acc += int(tmass[j])
                                 pos += 1
+                            dropped: list = []
                             out.update(
                                 self.r.warm_from_table(
                                     data,
@@ -880,8 +961,11 @@ def merge_index(
                                         dtype=_np.int64,
                                     ),
                                     self.mps,
+                                    deadline=dl_abs,
+                                    deferred_out=dropped,
                                 )
                             )
+                            n_deferred += len(dropped)
                         _wp(
                             {
                                 "dir": str(dn),

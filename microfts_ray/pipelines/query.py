@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 import re
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -46,6 +47,12 @@ _EMPTY_RUN = PostingRun(
     np.empty(0, dtype=np.uint64),
     np.empty(0, dtype=np.uint64),
 )
+
+# entries per warm-decode slice: small enough that the in-call decode
+# deadline (_warm_table_slices) overruns by well under a second even
+# inside a 30x bandwidth collapse, large enough that per-slice
+# overhead is noise at healthy bandwidth
+_WARM_SLICE_ENTRIES = 131_072
 
 
 class _DocMeta:
@@ -801,13 +808,25 @@ class IndexReader:
             self._warm_table_slices(tbl, terms_arr, parts, gmaps)
         return self._warm_finalize(parts)
 
-    def warm_from_table(self, tbl, terms, maps) -> dict:
+    def warm_from_table(
+        self, tbl, terms, maps, deadline: float | None = None,
+        deferred_out: list | None = None,
+    ) -> dict:
         """Warm representation straight from an IN-MEMORY posting table
         (e.g. the merge shard task's blob rows, before/regardless of
         what the page cache keeps of the written file). Same decode +
         translate + contrib kernels as warm_terms_bulk; bit-identical
         output because keys are unique per term, so the final stable
-        sort yields one canonical order whatever the row order was."""
+        sort yields one canonical order whatever the row order was.
+
+        `deadline` (absolute time.perf_counter value) bounds the decode
+        IN-CALL, checked between ~512-row slices: a single multi-million
+        -entry term inside a bandwidth collapse otherwise overruns any
+        between-chunks budget by 20-40 s (measured). Terms whose rows
+        were not fully decoded when the deadline trips are DROPPED from
+        the result (partial warm entries would be wrong) and appended
+        to `deferred_out`; they decode lazily at query time / prewarm
+        top-up like any other budget-deferred term."""
         if self._dense_space() is None:
             return {}
         terms_arr = np.unique(
@@ -823,7 +842,10 @@ class IndexReader:
         ]
         gmaps = self._warm_gmaps(maps)
         parts: dict[int, list] = {}
-        self._warm_table_slices(tbl.select(cols), terms_arr, parts, gmaps)
+        self._warm_table_slices(
+            tbl.select(cols), terms_arr, parts, gmaps,
+            deadline=deadline, deferred_out=deferred_out,
+        )
         return self._warm_finalize(parts)
 
     def _warm_gmaps(self, maps: tuple[dict, dict]):
@@ -832,7 +854,15 @@ class IndexReader:
         slice translates with two flat gathers — no per-posting
         searchsorted over the doc universe, no per-dict loop (a
         slice interleaves hundreds of source partitions' rows, so
-        per-dict grouping degenerated to 1-2 rows per group)."""
+        per-dict grouping degenerated to 1-2 rows per group).
+
+        Cached per `maps` identity: the concat is MBs of bus traffic
+        and warm_from_table is called once per term chunk — inside a
+        bandwidth collapse the per-call rebuild was ~14 s/dir of the
+        emit actors' decode time (run 10 profile)."""
+        cached = getattr(self, "_gmaps_cache", None)
+        if cached is not None and cached[0] is maps:
+            return cached[1]
         keymaps, dlmaps = maps
         did_off: dict[str, int] = {}
         gk_parts, gs_parts, gp_parts = [], [], []
@@ -848,19 +878,56 @@ class IndexReader:
         g_key = np.concatenate(gk_parts) if gk_parts else np.empty(0, np.int64)
         g_dstart = np.concatenate(gs_parts) if gs_parts else None
         g_dspan = np.concatenate(gp_parts) if gp_parts else None
-        return (did_off, g_key, g_dstart, g_dspan)
+        out = (did_off, g_key, g_dstart, g_dspan)
+        self._gmaps_cache = (maps, out)
+        return out
 
-    def _warm_table_slices(self, tbl, terms_arr, parts, gmaps) -> None:
+    def _warm_table_slices(
+        self, tbl, terms_arr, parts, gmaps,
+        deadline: float | None = None, deferred_out: list | None = None,
+    ) -> None:
         mask = np.isin(tbl["term"].to_numpy(), terms_arr)
         if not mask.any():
             return
         sub_all = tbl.filter(pa.array(mask))
-        # decode in ~512-row slices: the whole-shard decode's
-        # temporaries live in DRAM and this box's bus makes that
-        # 25x slower than cache-resident slices (measured 4.5s vs
-        # 0.16s per shard for identical output)
-        for s0 in range(0, sub_all.num_rows, 512):
-            sub = sub_all.slice(s0, 512)
+        # decode in small slices: the whole-shard decode's temporaries
+        # live in DRAM and this box's bus makes that 25x slower than
+        # cache-resident slices (measured 4.5s vs 0.16s per shard for
+        # identical output). Slice boundaries are ENTRY-budgeted (rows
+        # are variable-mass blobs: hot-term blobs run ~2.3k entries
+        # each, so a fixed 512-row slice would be ~1.2M entries and
+        # the deadline check below could overrun by ~10 s inside a
+        # collapse); ~128k entries per slice keeps both the cache
+        # residency and a sub-second deadline overrun.
+        n_np = sub_all["n"].to_numpy().astype(np.int64, copy=False)
+        bounds = [0]
+        acc = 0
+        for i in range(n_np.size):
+            acc += int(n_np[i])
+            if acc >= _WARM_SLICE_ENTRIES or i - bounds[-1] >= 511:
+                bounds.append(i + 1)
+                acc = 0
+        if bounds[-1] != n_np.size:
+            bounds.append(n_np.size)
+        for bi in range(len(bounds) - 1):
+            s0, s1 = bounds[bi], bounds[bi + 1]
+            if deadline is not None and s0 and time.perf_counter() > deadline:
+                # deadline tripped mid-call: every term with rows in
+                # the undecoded tail is incomplete — drop its partial
+                # parts (a truncated posting set would serve wrong
+                # scores) and report it deferred. The slice check
+                # bounds the overrun at ONE slice (~128k entries)
+                # instead of one whole term (20-40 s for a hot term
+                # inside a bandwidth collapse).
+                undecoded = np.unique(
+                    sub_all.slice(s0)["term"].to_numpy()
+                )
+                for t in undecoded:
+                    parts.pop(int(t), None)
+                    if deferred_out is not None:
+                        deferred_out.append(int(t))
+                return
+            sub = sub_all.slice(s0, s1 - s0)
             self._warm_accumulate(sub, parts, gmaps)
 
     def _warm_finalize(self, parts: dict) -> dict:
@@ -949,9 +1016,17 @@ class IndexReader:
         would otherwise re-read every docs sidecar to resolve its
         dictionaries: N tasks x all partitions of duplicate I/O).
         ~500 entries per dict -> a few MB total at any corpus size
-        that fits one dense space."""
+        that fits one dense space.
+
+        Cached per reader (a reader serves ONE index generation):
+        the lazy per-term decode of budget-deferred warm terms calls
+        this on every miss, and each rebuild re-reads the docs
+        sidecars — seconds per query inside a bandwidth collapse."""
         import os
 
+        cached = getattr(self, "_warm_maps_cache", None)
+        if cached is not None:
+            return cached
         keymaps: dict[str, np.ndarray] = {}
         dlmaps: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         if self._dense_space() is None:
@@ -981,6 +1056,7 @@ class IndexReader:
                     if not (dl_ids[p2] == lookup).all():
                         raise KeyError("doc_id missing from chunk-dl space")
                     dlmaps[did] = (dl_base[p2], dl_base[p2 + 1] - dl_base[p2])
+        self._warm_maps_cache = (keymaps, dlmaps)
         return keymaps, dlmaps
 
     def prewarm(
@@ -1626,13 +1702,13 @@ class IndexReader:
                 _sys.path.insert(0, pkg_root)
             import numpy as _np
             import pyarrow as _pa
+            import pyarrow.compute as _pc
             import pyarrow.parquet as _pq
 
             from microfts_ray.oracle import has_arg as _has
             from microfts_ray.pipelines.query import (
                 _source_parquet as _spq,
             )
-            from microfts_ray.stages.tokenize import split_lines as _sl
 
             pat = _re.compile(pat_src) if pat_src else None
             out = []
@@ -1649,23 +1725,49 @@ class IndexReader:
                 off = _np.zeros(urgs.size, dtype=_np.int64)
                 _np.cumsum(nr[:-1], out=off[1:])
                 pos = off[_np.searchsorted(urgs, u_rg)] + u_row
-                docs = (
-                    tbl["content"].combine_chunks().take(_pa.array(pos)).to_pylist()
-                )
-                lines_by_doc: list = [None] * len(docs)
+                docs_arr = tbl["content"].combine_chunks().take(_pa.array(pos))
+                # vectorized split_lines (tokenize.py): one C-level
+                # split of every unique doc, then a flat gather of the
+                # candidate lines — the per-doc Python str.split +
+                # per-candidate list indexing was the scan tasks' hot
+                # loop at 1M+ candidate rows. split('\n')[:-1]
+                # semantics: a chunk is valid iff chunk < n_parts - 1
+                # (the unterminated tail fragment is dropped); an
+                # out-of-range chunk stays a row with "" text, exactly
+                # like the scalar path did.
+                split = _pc.split_pattern(docs_arr, pattern="\n")
+                sp_off = split.offsets.to_numpy().astype(_np.int64)
+                flat = split.values
+                u = _np.asarray(c_upos, dtype=_np.int64)
+                c = _np.asarray(c_chunk, dtype=_np.int64)
+                n_parts = sp_off[u + 1] - sp_off[u]
+                valid = c < (n_parts - 1)
+                li = _np.where(valid, sp_off[u] + c, 0)
+                texts_all = flat.take(_pa.array(li))
+                if not valid.all():
+                    texts_all = _pc.if_else(
+                        _pa.array(valid), texts_all, ""
+                    )
+                g_arr = _np.asarray(c_gpos, dtype=_np.int64)
+                if pat is None and not args_t:
+                    # no-verify mode (fuzzy): every candidate survives
+                    # with its gathered line — no Python loop at all
+                    out.append(
+                        (
+                            g_arr,
+                            _np.zeros(g_arr.size, _np.int64),
+                            texts_all,
+                        )
+                    )
+                    continue
                 sel, offs, lines = [], [], []
-                for u, c, g in zip(c_upos, c_chunk, c_gpos):
-                    ls = lines_by_doc[u]
-                    if ls is None:
-                        ls = _sl(docs[u])
-                        lines_by_doc[u] = ls
-                    text = ls[int(c)] if int(c) < len(ls) else ""
+                for j, text in enumerate(texts_all.to_pylist()):
                     if pat is not None and not pat.search(text):
                         continue
                     ofs = [_has(text, a, part_f) for a in args_t]
                     if any(o < 0 for o in ofs):
                         continue
-                    sel.append(int(g))
+                    sel.append(int(g_arr[j]))
                     offs.append(min(ofs) if ofs else 0)
                     lines.append(text)
                 out.append(
@@ -1924,9 +2026,13 @@ class IndexReader:
         pct = n / len(grams)
         keep = pct >= threshold
         d, c, pct = d[keep], c[keep], pct[keep]
+        if d.size == 0:
+            return []
         # no-verify mode: all rows survive, lines stay in Arrow until
         # the final ordered to_pylist
         _, _, texts = self.scan_rows(d, c, as_arrow=True)
+        if not len(texts):
+            return []
         # vectorized result ordering: per-unique-doc group codes, one
         # lexsort — a Python tuple-key sort over millions of hit rows
         # was a multi-second tax
@@ -1936,22 +2042,23 @@ class IndexReader:
             order = np.lexsort((c, codes, pct100))
         else:
             order = np.lexsort((c, -pct100, codes))
-        g_l = names[codes[order]].tolist()
-        d_l = d[order].tolist()
-        c_l = c[order].tolist()
-        p_l = pct100[order].tolist()
-        t_l = texts.take(pa.array(order)).to_pylist() if len(texts) else []
-        return [
-            {
-                "group": g,
-                "doc_id": di,
-                "chunk_id": ci,
-                "line": ci + 1,
-                "percent": pi,
-                "text": t,
-            }
-            for g, di, ci, pi, t in zip(g_l, d_l, c_l, p_l, t_l)
-        ]
+        # single C-level struct materialization: building 1M+ result
+        # dicts in a Python zip loop (plus four .tolist() passes) was
+        # a measured multi-second driver-side tax on the fuzzy bench
+        # line; StructArray.to_pylist produces the identical dicts
+        co = c[order].astype(np.int64, copy=False)
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(names[codes[order]], pa.string()),
+                pa.array(d[order].astype(np.int64, copy=False)),
+                pa.array(co),
+                pa.array(co + 1),
+                pa.array(pct100[order], pa.float64()),
+                texts.take(pa.array(order)),
+            ],
+            names=["group", "doc_id", "chunk_id", "line", "percent", "text"],
+        )
+        return struct.to_pylist()
 
     def search_file(self, *args: str, partial: bool = False) -> list[dict]:
         """Doc-level conjunction (intersectFileGrams, X2)."""

@@ -1194,3 +1194,58 @@ def test_warm_decode_budget_defers_tail_serving_identical(
     assert [(x["doc_id"], x["chunk_id"]) for x in got] == [
         (x["doc_id"], x["chunk_id"]) for x in want
     ]
+
+
+def test_warm_from_table_in_call_deadline(
+    corpus_dir, tmp_path_factory, monkeypatch
+):
+    """An expired deadline bounds warm_from_table IN-CALL (between
+    decode slices), not just between term chunks: terms whose rows
+    extend past the first guaranteed-progress slice are DROPPED and
+    reported via deferred_out — never emitted truncated — and the
+    terms that do come back are bit-identical to an unbounded call.
+    This is what bounds a multi-million-entry hot term's decode
+    inside a bandwidth collapse (runs 8-9: 20-40 s/dir overruns)."""
+    import glob
+    import time as _t
+
+    import microfts_ray.pipelines.query as qmod
+    from microfts_ray.pipelines.merge import merge_index
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("dlwft"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    merge_index(idx, n_shards=2)
+    r = IndexReader(idx)
+    assert r._dense_space() is not None
+    # tiny slices so the small test corpus spans many of them
+    monkeypatch.setattr(qmod, "_WARM_SLICE_ENTRIES", 64)
+    seg = r._all_term_sources()[0]
+    cols = [c for c in ("term", "n", "dict", "doc_blob", "chunk_blob",
+                        "tf_blob", "dl_blob")
+            if c in seg._pf.schema_arrow.names]
+    tbl = seg._pf.read(columns=cols)
+    terms = np.unique(tbl["term"].to_numpy())
+    maps = r._warm_maps()
+    full = r.warm_from_table(tbl, terms, maps)
+    assert full
+    deferred: list = []
+    part = r.warm_from_table(
+        tbl, terms, maps,
+        deadline=_t.perf_counter() - 1.0, deferred_out=deferred,
+    )
+    # the expired deadline must have deferred most of the table (only
+    # the first slice is guaranteed progress)
+    assert deferred
+    assert len(part) < len(full)
+    # disjoint + complete accounting: every term with postings either
+    # came back whole or was deferred
+    assert not (set(part) & set(deferred))
+    assert set(part) | (set(deferred) & set(full)) == set(full)
+    # emitted terms are bit-identical to the unbounded decode
+    for t, (keys, contribs, n) in part.items():
+        fk, fc, fn = full[t]
+        assert n == fn
+        assert np.array_equal(keys, fk)
+        assert np.array_equal(contribs, fc)
