@@ -1090,6 +1090,8 @@ class IndexReader:
             # (reads hit the plasma-parked shards) so the first query
             # pass doesn't pay them serially. No-op after a full-depth
             # emission.
+            _tw0 = _time.perf_counter()
+            _n_before = len(self._sorted_kc)
             topup = float(
                 _os.environ.get("MICROFTS_PREWARM_TOPUP_SECONDS", "4")
             )
@@ -1098,19 +1100,48 @@ class IndexReader:
                 for seg in self._all_term_sources():
                     for t, n in zip(seg.terms.tolist(), seg.ns.tolist()):
                         totals[t] = totals.get(t, 0) + int(n)
+                cands = [
+                    (t, n)
+                    for t, n in totals.items()
+                    if n >= min_entries
+                    and t not in self._sorted_kc
+                    and (
+                        term_range is None
+                        or term_range[0] <= t < term_range[1]
+                    )
+                ]
+                # RATE-CALIBRATED spend: a between-items budget check
+                # alone lets the FIRST item overrun it unboundedly —
+                # inside a bandwidth collapse one deferred hot term's
+                # lazy decode ran 10-20 s and query_warmup blew to
+                # 22-30 s (runs 9-10). Decode the SMALLEST eligible
+                # term first (~min_entries, cheap at any ambient) to
+                # measure entries/sec, then go hottest-first SKIPPING
+                # any term whose predicted cost exceeds the remaining
+                # budget — at healthy bandwidth everything fits and
+                # behavior is unchanged; in collapse the budget warms
+                # the affordable mid-mass instead of dying on one
+                # monster. Worst-case overrun: ~2x one misestimate.
                 t0 = _time.perf_counter()
-                for t, n in sorted(totals.items(), key=lambda kv: -kv[1]):
-                    if n < min_entries:
-                        break
+                rate = None
+                if cands:
+                    t_cal, n_cal = min(cands, key=lambda kv: kv[1])
+                    self._sorted_keys(int(t_cal))
+                    dt = max(_time.perf_counter() - t0, 1e-4)
+                    rate = n_cal / dt
+                for t, n in sorted(cands, key=lambda kv: -kv[1]):
                     if t in self._sorted_kc:
                         continue
-                    if term_range is not None and not (
-                        term_range[0] <= t < term_range[1]
-                    ):
-                        continue
-                    if _time.perf_counter() - t0 > topup:
+                    left = topup - (_time.perf_counter() - t0)
+                    if left <= 0:
                         break
+                    if rate is not None and n / rate > left:
+                        continue  # unaffordable now; smaller may fit
+                    td = _time.perf_counter()
                     self._sorted_keys(int(t))
+                    rate = max(
+                        n / max(_time.perf_counter() - td, 1e-4), 1.0
+                    )
             if self._dense_space() is not None:
                 # eager-build MISSING dense vectors hottest-first,
                 # TIME-BUDGETED: parked vectors are free (plasma
@@ -1130,17 +1161,42 @@ class IndexReader:
                 budget = float(
                     _os.environ.get("MICROFTS_PREWARM_VEC_SECONDS", "2")
                 )
+                vec_cands = [
+                    (t, n)
+                    for t, n in self._term_len_cache.items()
+                    if n >= self._vec_min and t not in self._vec_cache
+                ]
+                # same rate-calibrated spend as the top-up above: one
+                # 33 MB scatter inside a collapse is 10+ s, so build
+                # the smallest eligible vector first to measure, then
+                # skip any build predicted to overrun the remainder
                 t0 = _time.perf_counter()
-                for t, n in sorted(
-                    self._term_len_cache.items(), key=lambda kv: -kv[1]
-                ):
-                    if n < self._vec_min:
-                        break  # descending: nothing below is eligible
+                vrate = None
+                if vec_cands:
+                    t_cal, n_cal = min(vec_cands, key=lambda kv: kv[1])
+                    self._dense_vec(t_cal)
+                    vrate = n_cal / max(_time.perf_counter() - t0, 1e-4)
+                for t, n in sorted(vec_cands, key=lambda kv: -kv[1]):
                     if t in self._vec_cache:
                         continue
-                    if _time.perf_counter() - t0 > budget:
+                    left = budget - (_time.perf_counter() - t0)
+                    if left <= 0:
                         break
+                    if vrate is not None and n / vrate > left:
+                        continue
+                    td = _time.perf_counter()
                     self._dense_vec(t)
+                    vrate = max(
+                        n / max(_time.perf_counter() - td, 1e-4), 1.0
+                    )
+            _warm_prof(
+                {
+                    "dir": "_prewarm",
+                    "topup_vec_s": round(_time.perf_counter() - _tw0, 3),
+                    "n_topup": len(self._sorted_kc) - _n_before,
+                    "n_vecs": len(self._vec_cache),
+                }
+            )
             return len(self._sorted_kc)
 
         if term_range is not None:
