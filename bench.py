@@ -291,6 +291,9 @@ def run_suite() -> dict:
     t0 = time.perf_counter()
     reader.fuzzy("def f_1(a, b)", threshold=0.6)
     queries["fuzzy"] = round(time.perf_counter() - t0, 3)
+    # fuzzy ships ~1M result rows; its wall is ~pure bus traffic, so
+    # the adjacent probe is what makes the line readable
+    stage_probes["after_fuzzy"] = _bus_probe()
 
     # driver-contract pipelines over $GRAFT_SF_DIR
     spec = importlib.util.spec_from_file_location(

@@ -531,7 +531,10 @@ def merge_index(
             int(p.get("stats", {}).get("n_chunks", 0))
             for p in manifest["partitions"]
         )
-        if docs_rels and n_chunks_tot <= (1 << 26):
+        dense_cap = int(
+            os.environ.get("MICROFTS_DENSE_CAP", str(1 << 26))
+        )
+        if docs_rels and n_chunks_tot <= dense_cap:
             pkg_root_prk = _pkg_root()
 
             @ray.remote(num_cpus=0)
@@ -866,6 +869,12 @@ def merge_index(
                 self.r = r
                 self.mps = mps
                 self.dense_k = int(dense[1][-1])
+                # precompute the global rank-map concat HERE: it is
+                # cached per reader, but the first warm_from_table
+                # call otherwise pays it inside a dir's decode budget
+                # (~14 s at a collapsed bus, run-10/12 profiles) —
+                # in __init__ it overlaps the merge units instead
+                r._warm_gmaps(mps)
 
             def __call__(self, tbl):
                 import os as _os

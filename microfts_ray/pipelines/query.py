@@ -1095,11 +1095,14 @@ class IndexReader:
             topup = float(
                 _os.environ.get("MICROFTS_PREWARM_TOPUP_SECONDS", "4")
             )
+            _enum_s = 0.0
             if topup > 0 and self._dense_space() is not None:
+                _te = _time.perf_counter()
                 totals: dict[int, int] = {}
                 for seg in self._all_term_sources():
                     for t, n in zip(seg.terms.tolist(), seg.ns.tolist()):
                         totals[t] = totals.get(t, 0) + int(n)
+                _enum_s = _time.perf_counter() - _te
                 cands = [
                     (t, n)
                     for t, n in totals.items()
@@ -1129,6 +1132,7 @@ class IndexReader:
                     self._sorted_keys(int(t_cal))
                     dt = max(_time.perf_counter() - t0, 1e-4)
                     rate = n_cal / dt
+                _cal_s = _time.perf_counter() - t0
                 for t, n in sorted(cands, key=lambda kv: -kv[1]):
                     if t in self._sorted_kc:
                         continue
@@ -1142,6 +1146,10 @@ class IndexReader:
                     rate = max(
                         n / max(_time.perf_counter() - td, 1e-4), 1.0
                     )
+                _topup_s = _time.perf_counter() - t0 - _cal_s
+            else:
+                _cal_s = _topup_s = 0.0
+            _vec_s = 0.0
             if self._dense_space() is not None:
                 # eager-build MISSING dense vectors hottest-first,
                 # TIME-BUDGETED: parked vectors are free (plasma
@@ -1166,33 +1174,38 @@ class IndexReader:
                     for t, n in self._term_len_cache.items()
                     if n >= self._vec_min and t not in self._vec_cache
                 ]
-                # same rate-calibrated spend as the top-up above: one
-                # 33 MB scatter inside a collapse is 10+ s, so build
-                # the smallest eligible vector first to measure, then
-                # skip any build predicted to overrun the remainder
+                # a vector build costs ~K (33 MB zero-fill + scatter)
+                # REGARDLESS of the term's n, so per-term rate
+                # calibration is meaningless here — the bound is:
+                # (a) a FRESH ambient probe gate (don't trust the
+                # ~20 s-TTL cache prewarm may have inherited from a
+                # flipped episode), matching _dense_vec's own gate;
+                # (b) builds are ~constant-cost, so the first build
+                # that overruns the remaining budget ends the phase
+                # (break, not continue)
                 t0 = _time.perf_counter()
-                vrate = None
-                if vec_cands:
-                    t_cal, n_cal = min(vec_cands, key=lambda kv: kv[1])
-                    self._dense_vec(t_cal)
-                    vrate = n_cal / max(_time.perf_counter() - t0, 1e-4)
-                for t, n in sorted(vec_cands, key=lambda kv: -kv[1]):
-                    if t in self._vec_cache:
-                        continue
-                    left = budget - (_time.perf_counter() - t0)
-                    if left <= 0:
-                        break
-                    if vrate is not None and n / vrate > left:
-                        continue
-                    td = _time.perf_counter()
-                    self._dense_vec(t)
-                    vrate = max(
-                        n / max(_time.perf_counter() - td, 1e-4), 1.0
-                    )
+                if vec_cands and _cached_gbps(ttl=0.0) >= 1.5:
+                    last_cost = 0.0
+                    for t, n in sorted(
+                        vec_cands, key=lambda kv: -kv[1]
+                    ):
+                        if t in self._vec_cache:
+                            continue
+                        left = budget - (_time.perf_counter() - t0)
+                        if left <= 0 or last_cost > left:
+                            break
+                        td = _time.perf_counter()
+                        self._dense_vec(t)
+                        last_cost = _time.perf_counter() - td
+                _vec_s = _time.perf_counter() - t0
             _warm_prof(
                 {
                     "dir": "_prewarm",
-                    "topup_vec_s": round(_time.perf_counter() - _tw0, 3),
+                    "enum_s": round(_enum_s, 3),
+                    "cal_s": round(_cal_s, 3),
+                    "topup_s": round(_topup_s, 3),
+                    "vec_s": round(_vec_s, 3),
+                    "total_s": round(_time.perf_counter() - _tw0, 3),
                     "n_topup": len(self._sorted_kc) - _n_before,
                     "n_vecs": len(self._vec_cache),
                 }
@@ -2214,9 +2227,13 @@ class IndexReader:
             for i, j in enumerate(top)
         ]
 
-    def _dense_space(self, cap: int = 1 << 26) -> tuple[np.ndarray, int] | None:
+    def _dense_space(
+        self, cap: int | None = None
+    ) -> tuple[np.ndarray, int] | None:
         """(sorted doc_ids, stride) for the dense scoring key space
-        doc_idx * stride + chunk_id, or None above `cap` keys.
+        doc_idx * stride + chunk_id, or None above `cap` keys
+        (default 2^26; MICROFTS_DENSE_CAP overrides — e.g. 0 forces
+        the 10^12-doc MaxScore serving regime at any corpus size).
 
         The dense path is the single-node fast path: our scoring unit
         universe (docs x max lines) fits comfortably in one float64
@@ -2224,6 +2241,12 @@ class IndexReader:
         bincount adds — no sorting at all. At 10^12-doc scale
         _dense_space returns None and MaxScore pruning takes over.
         """
+        import os as _os
+
+        if cap is None:
+            cap = int(
+                _os.environ.get("MICROFTS_DENSE_CAP", str(1 << 26))
+            )
         if self._dense is None:
             ids, chunks = [], []
             for _si, d in self._docs_tables():
@@ -3569,6 +3592,7 @@ def _write_warm_dir(
             # form of MICROFTS_VEC_BUDGET_SECONDS=0).
             force = vec_seconds is not None and vec_seconds <= 0
             degraded = (not force) and _cached_gbps() < 1.0
+            last_cost = 0.0
             for t in sorted(terms, key=lambda t: -out[t][0].size):
                 k, c = out[t][0], out[t][1]
                 if k.size < vm:
@@ -3577,13 +3601,21 @@ def _write_warm_dir(
                     degraded
                     or (
                         vec_seconds is not None
-                        and _time.perf_counter() - tv0 > vec_seconds
+                        and _time.perf_counter() - tv0 + last_cost
+                        > vec_seconds
                     )
                 ):
-                    break  # budget spent: remaining vectors go lazy
+                    # budget spent — or the NEXT build is predicted to
+                    # overrun it: every build costs ~K (zero-fill +
+                    # scatter), so the previous build's cost is the
+                    # estimate; without it one mid-collapse build
+                    # overran the budget by 10+ s (runs 12-13 vec_s)
+                    break  # remaining vectors go lazy
+                tb0 = _time.perf_counter()
                 v = np.zeros(dense_k, dtype=np.float32)
                 v[k] = c
                 vecs[int(t)] = v
+                last_cost = _time.perf_counter() - tb0
         t_vec = _time.perf_counter()
         try:
             # single-copy park: _owner transfers ownership of the

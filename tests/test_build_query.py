@@ -1249,3 +1249,43 @@ def test_warm_from_table_in_call_deadline(
         assert n == fn
         assert np.array_equal(keys, fk)
         assert np.array_equal(contribs, fc)
+
+
+def test_huge_corpus_regime_no_warm_maxscore_serving(
+    corpus_dir, tmp_path_factory, oracle, monkeypatch
+):
+    """The 10^12-doc regime end-to-end at test scale: with the dense
+    key cap forced to 0 (MICROFTS_DENSE_CAP), the merge's warm
+    emission pre-gate skips warm work entirely (sum n_chunks exceeds
+    the cap — no sidecar reads, no staged dirs, no warm store) and
+    serving runs the MaxScore/pruned path off the merged shards.
+    Results must stay oracle-identical — rank AND score."""
+    import glob
+    import os
+
+    from microfts_ray.pipelines.merge import merge_index
+
+    monkeypatch.setenv("MICROFTS_DENSE_CAP", "0")
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("hugecap"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    merge_index(idx, n_shards=4, emit_warm=True, warm_inline=True)
+    # no warm cache generation may exist: the pre-gate must have
+    # skipped emission, and the post-merge fallback no-ops without a
+    # dense space
+    assert not glob.glob(os.path.join(idx, "warmcache", "*", "sharded.json"))
+    r = IndexReader(idx)
+    assert r._dense_space() is None
+    assert r.prewarm() == 0
+    for q in ["def", "import mod_1", "def f_1(a, b):", "x = y"]:
+        got = r.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ], q
+    got = r.search("import", "mod_1")
+    want = oracle.search("import", "mod_1")
+    assert [(x["doc_id"], x["chunk_id"]) for x in got] == [
+        (x["doc_id"], x["chunk_id"]) for x in want
+    ]
