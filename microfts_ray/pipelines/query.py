@@ -772,7 +772,9 @@ class IndexReader:
                     store.drop_prefix.remote(p)  # free the plasma copies
 
     def warm_terms_bulk(
-        self, terms, maps: tuple[dict, dict] | None = None
+        self, terms, maps: tuple[dict, dict] | None = None,
+        deadline: float | None = None,
+        deferred_out: list | None = None,
     ) -> dict[int, tuple[np.ndarray, np.ndarray, int]]:
         """Bulk warm-representation build: per source segment/shard,
         ONE full-table read + ONE vectorized decode_terms_table pass,
@@ -784,7 +786,13 @@ class IndexReader:
         Bit-identical to _sorted_keys: keys are unique per term, and
         contribs use the same _contrib(w, tf, dl) elementwise math —
         concat order across segments can't change either. Requires the
-        dense space; callers fall back to per-term decode without it."""
+        dense space; callers fall back to per-term decode without it.
+
+        With `deadline` the decode is bounded in-call (between decode
+        slices AND between segment reads). A term is returned ONLY if
+        every segment holding its rows was fully processed — partially
+        accumulated terms are dropped and reported via `deferred_out`
+        (a truncated posting set must never serve)."""
         from ..functions.postings import decode_terms_table
 
         if self._dense_space() is None:
@@ -795,17 +803,46 @@ class IndexReader:
             return {}
         gmaps = self._warm_gmaps(maps if maps is not None else self._warm_maps())
         parts: dict[int, list] = {}
-        for seg in self._all_term_sources():
+        segs = [
+            seg
+            for seg in self._all_term_sources()
             # skip sources with no hot term (term directory is loaded)
-            if not np.isin(terms_arr, seg.terms).any():
-                continue
+            if np.isin(terms_arr, seg.terms).any()
+        ]
+        aborted_at = None
+        deferred: set[int] = set()
+        for i, seg in enumerate(segs):
+            if (
+                deadline is not None
+                and i
+                and time.perf_counter() > deadline
+            ):
+                aborted_at = i
+                break
             tbl = seg._pf.read(
                 columns=["term", "n", "dict", "doc_blob", "chunk_blob",
                          "tf_blob", "dl_blob"]
                 if "dict" in seg._pf.schema_arrow.names
                 else ["term", "n", "doc_blob", "chunk_blob", "tf_blob", "dl_blob"]
             )
-            self._warm_table_slices(tbl, terms_arr, parts, gmaps)
+            dropped: list = []
+            self._warm_table_slices(
+                tbl, terms_arr, parts, gmaps,
+                deadline=deadline, deferred_out=dropped,
+            )
+            if dropped:
+                deferred.update(int(t) for t in dropped)
+                aborted_at = i + 1
+                break
+        if aborted_at is not None:
+            # every requested term present in an unprocessed segment
+            # is incomplete: drop its partial parts and defer it
+            for seg in segs[aborted_at:]:
+                for t in terms_arr[np.isin(terms_arr, seg.terms)]:
+                    parts.pop(int(t), None)
+                    deferred.add(int(t))
+        if deferred_out is not None:
+            deferred_out.extend(sorted(deferred))
         return self._warm_finalize(parts)
 
     def warm_from_table(
@@ -1059,6 +1096,58 @@ class IndexReader:
         self._warm_maps_cache = (keymaps, dlmaps)
         return keymaps, dlmaps
 
+    def _prewarm_topup(
+        self, min_entries: int, term_range: tuple[int, int] | None
+    ) -> tuple[float, float]:
+        """TOP-UP pass for a loaded-but-partial warm cache: the
+        emission's decode budget may have deferred warm-eligible terms
+        inside a collapse episode; warm the missing ones here so the
+        first query pass doesn't pay their decodes serially. No-op
+        after a full-depth emission. Returns (enum_s, topup_s).
+
+        Two hard-won bounds (run-14 profile): a FRESH ambient probe
+        gate — inside a collapse even the cheapest single-term lazy
+        decode costs a full shard row-group read+decompress (29 s
+        measured for a ~min_entries term), so no top-up spend is
+        affordable there (deferred terms decode lazily per query,
+        paying only for terms actually used) — and ONE bulk pass over
+        the shard tables (warm_terms_bulk, deadline-bounded in-call):
+        per-term decodes cost a whole row group each no matter how
+        small the term, so reading each segment once for ALL missing
+        terms is both the cheap path and the bounded one."""
+        import os as _os
+        import time as _time
+
+        topup = float(
+            _os.environ.get("MICROFTS_PREWARM_TOPUP_SECONDS", "4")
+        )
+        if (
+            topup <= 0
+            or self._dense_space() is None
+            or _cached_gbps(ttl=0.0) < 1.5
+        ):
+            return 0.0, 0.0
+        _te = _time.perf_counter()
+        totals: dict[int, int] = {}
+        for seg in self._all_term_sources():
+            for t, n in zip(seg.terms.tolist(), seg.ns.tolist()):
+                totals[t] = totals.get(t, 0) + int(n)
+        _enum_s = _time.perf_counter() - _te
+        cands = [
+            t
+            for t, n in totals.items()
+            if n >= min_entries
+            and t not in self._sorted_kc
+            and (term_range is None or term_range[0] <= t < term_range[1])
+        ]
+        t0 = _time.perf_counter()
+        if cands:
+            got = self.warm_terms_bulk(cands, deadline=t0 + topup)
+            for t, (k, c, n) in got.items():
+                self._sorted_kc[int(t)] = (k, c)
+                self._term_len_cache[int(t)] = int(n)
+        return _enum_s, _time.perf_counter() - t0
+
     def prewarm(
         self,
         min_entries: int = 10_000,
@@ -1084,71 +1173,9 @@ class IndexReader:
             import os as _os
             import time as _time
 
-            # TOP-UP: the emission's decode budget may have deferred
-            # mid-mass warm terms inside a collapse episode; decode
-            # the hottest missing ones here under a small time budget
-            # (reads hit the plasma-parked shards) so the first query
-            # pass doesn't pay them serially. No-op after a full-depth
-            # emission.
             _tw0 = _time.perf_counter()
             _n_before = len(self._sorted_kc)
-            topup = float(
-                _os.environ.get("MICROFTS_PREWARM_TOPUP_SECONDS", "4")
-            )
-            _enum_s = 0.0
-            if topup > 0 and self._dense_space() is not None:
-                _te = _time.perf_counter()
-                totals: dict[int, int] = {}
-                for seg in self._all_term_sources():
-                    for t, n in zip(seg.terms.tolist(), seg.ns.tolist()):
-                        totals[t] = totals.get(t, 0) + int(n)
-                _enum_s = _time.perf_counter() - _te
-                cands = [
-                    (t, n)
-                    for t, n in totals.items()
-                    if n >= min_entries
-                    and t not in self._sorted_kc
-                    and (
-                        term_range is None
-                        or term_range[0] <= t < term_range[1]
-                    )
-                ]
-                # RATE-CALIBRATED spend: a between-items budget check
-                # alone lets the FIRST item overrun it unboundedly —
-                # inside a bandwidth collapse one deferred hot term's
-                # lazy decode ran 10-20 s and query_warmup blew to
-                # 22-30 s (runs 9-10). Decode the SMALLEST eligible
-                # term first (~min_entries, cheap at any ambient) to
-                # measure entries/sec, then go hottest-first SKIPPING
-                # any term whose predicted cost exceeds the remaining
-                # budget — at healthy bandwidth everything fits and
-                # behavior is unchanged; in collapse the budget warms
-                # the affordable mid-mass instead of dying on one
-                # monster. Worst-case overrun: ~2x one misestimate.
-                t0 = _time.perf_counter()
-                rate = None
-                if cands:
-                    t_cal, n_cal = min(cands, key=lambda kv: kv[1])
-                    self._sorted_keys(int(t_cal))
-                    dt = max(_time.perf_counter() - t0, 1e-4)
-                    rate = n_cal / dt
-                _cal_s = _time.perf_counter() - t0
-                for t, n in sorted(cands, key=lambda kv: -kv[1]):
-                    if t in self._sorted_kc:
-                        continue
-                    left = topup - (_time.perf_counter() - t0)
-                    if left <= 0:
-                        break
-                    if rate is not None and n / rate > left:
-                        continue  # unaffordable now; smaller may fit
-                    td = _time.perf_counter()
-                    self._sorted_keys(int(t))
-                    rate = max(
-                        n / max(_time.perf_counter() - td, 1e-4), 1.0
-                    )
-                _topup_s = _time.perf_counter() - t0 - _cal_s
-            else:
-                _cal_s = _topup_s = 0.0
+            _enum_s, _topup_s = self._prewarm_topup(min_entries, term_range)
             _vec_s = 0.0
             if self._dense_space() is not None:
                 # eager-build MISSING dense vectors hottest-first,
@@ -1202,7 +1229,6 @@ class IndexReader:
                 {
                     "dir": "_prewarm",
                     "enum_s": round(_enum_s, 3),
-                    "cal_s": round(_cal_s, 3),
                     "topup_s": round(_topup_s, 3),
                     "vec_s": round(_vec_s, 3),
                     "total_s": round(_time.perf_counter() - _tw0, 3),

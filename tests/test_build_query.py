@@ -1289,3 +1289,75 @@ def test_huge_corpus_regime_no_warm_maxscore_serving(
     assert [(x["doc_id"], x["chunk_id"]) for x in got] == [
         (x["doc_id"], x["chunk_id"]) for x in want
     ]
+
+
+def test_prewarm_topup_bulk_warms_deferred_terms(
+    corpus_dir, tmp_path_factory, oracle, monkeypatch
+):
+    """After a budget-starved emission, prewarm's top-up must warm the
+    deferred terms in ONE deadline-bounded bulk pass (per-term lazy
+    decodes cost a whole row-group read each — run-14 measured 29 s
+    for a single ~min_entries term inside a collapse). With the
+    ambient gate forced healthy and an ample budget, every eligible
+    term warms; entries are bit-identical to an unbounded bulk build
+    and serving stays oracle-identical."""
+    import glob
+    import json
+    import os
+
+    import microfts_ray.pipelines.query as qmod
+    from microfts_ray.pipelines.merge import merge_index
+
+    monkeypatch.setattr(qmod, "_cached_gbps", lambda ttl=20.0: 10.0)
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("topupbulk"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    merge_index(idx, n_shards=4, emit_warm=True, warm_inline=True,
+                warm_min_entries=50)
+    markers = glob.glob(os.path.join(idx, "warmcache", "*", "sharded.json"))
+    assert len(markers) == 1
+
+    r = IndexReader(idx)
+    assert r._load_warmcache(min_entries=50)
+    # simulate a budget-starved emission: evict half the warm entries
+    # (at test scale every dir fits in one decode slice, so the real
+    # deadline never defers anything)
+    evicted = sorted(r._sorted_kc)[::2]
+    full_ref = {t: r._sorted_kc[t] for t in evicted}
+    for t in evicted:
+        del r._sorted_kc[t]
+        r._term_len_cache.pop(t, None)
+    n_before = len(r._sorted_kc)
+    enum_s, topup_s = r._prewarm_topup(50, None)
+    # every evicted term must be re-warmed, bit-identical to the
+    # emission's own entries
+    assert len(r._sorted_kc) == n_before + len(evicted)
+    for t in evicted:
+        k, c = r._sorted_kc[t]
+        assert np.array_equal(np.asarray(k), np.asarray(full_ref[t][0])), t
+        assert np.array_equal(np.asarray(c), np.asarray(full_ref[t][1])), t
+    for q in ["def", "import mod_1", "def f_1(a, b):"]:
+        got = r.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ], q
+    # the collapse gate: with a collapsed fresh probe the top-up must
+    # refuse to spend anything
+    monkeypatch.setattr(qmod, "_cached_gbps", lambda ttl=20.0: 0.2)
+    for t in evicted:
+        del r._sorted_kc[t]
+    _, topup_s2 = r._prewarm_topup(50, None)
+    assert topup_s2 == 0.0
+    assert all(t not in r._sorted_kc for t in evicted)
+    # an expired deadline defers rather than emits truncated entries
+    monkeypatch.setattr(qmod, "_cached_gbps", lambda ttl=20.0: 10.0)
+    monkeypatch.setenv("MICROFTS_PREWARM_TOPUP_SECONDS", "1")
+    deferred: list = []
+    got = r.warm_terms_bulk(
+        evicted, deadline=0.0, deferred_out=deferred
+    )
+    for t, (k, c, n) in got.items():
+        assert np.array_equal(np.asarray(k), np.asarray(full_ref[t][0]))
+    assert set(got) | set(deferred) >= set(full_ref) & set(evicted)
