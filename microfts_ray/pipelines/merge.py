@@ -587,6 +587,16 @@ def merge_index(
                 )
                 t1 = _t.perf_counter()
                 r0 = _IRt(index_dir)
+                # dense_cap is the DRIVER-resolved value (closure):
+                # reading MICROFTS_DENSE_CAP here would follow the
+                # worker's env, which may predate a driver-side change
+                # — the repo contract is driver-evaluated env, threaded
+                # through (a divergent cap would make this task return
+                # None while the driver's finalize path expects a
+                # dense space, crashing the fallback emit tasks). The
+                # instance override keeps every internal
+                # _dense_space() call in this task on the same cap.
+                r0._dense_cap_override = dense_cap
                 if r0._dense_space() is None:
                     return None  # padding pushed keys past the cap
                 try:

@@ -174,6 +174,7 @@ class IndexReader:
         index_dir: str,
         cache_entries: int = 150_000_000,
         vec_budget: int = 6 << 30,
+        add32_budget: int | None = None,
     ):
         self.index_dir = index_dir
         self.manifest = mf.load_manifest(index_dir)
@@ -234,7 +235,17 @@ class IndexReader:
         self._add32_cache: dict[int, np.ndarray] = {}
         self._addc32_cache: dict[int, np.ndarray] = {}
         self._add32_bytes = 0
-        self._add32_budget = 1 << 30
+        # PER-READER budget, like _vec_budget below: a pool must
+        # divide the host budget by its actor count (QueryService
+        # does) — these derived copies are private per process,
+        # unlike the plasma-shared sorted_kc pages they come from
+        if add32_budget is None:
+            import os as _os
+
+            add32_budget = int(
+                _os.environ.get("MICROFTS_ADD32_BYTES", str(1 << 30))
+            )
+        self._add32_budget = add32_budget
         self._vec_min = _vec_min_default()  # vector when a term has >= this many postings
         # bytes of dense f32 vectors to hold — PER READER, so a pool
         # must divide the host budget by its actor count (QueryService
@@ -937,15 +948,21 @@ class IndexReader:
         # collapse); ~128k entries per slice keeps both the cache
         # residency and a sub-second deadline overrun.
         n_np = sub_all["n"].to_numpy().astype(np.int64, copy=False)
+        # slice boundaries: one searchsorted per SLICE (not a Python
+        # loop per row — that boxed every posting count inside the
+        # very decode budget the deadline conserves), capped at 512
+        # rows per slice for the cache-residency bound above
+        cs = np.cumsum(n_np)
         bounds = [0]
-        acc = 0
-        for i in range(n_np.size):
-            acc += int(n_np[i])
-            if acc >= _WARM_SLICE_ENTRIES or i - bounds[-1] >= 511:
-                bounds.append(i + 1)
-                acc = 0
-        if bounds[-1] != n_np.size:
-            bounds.append(n_np.size)
+        while bounds[-1] < n_np.size:
+            s0 = bounds[-1]
+            base_c = cs[s0 - 1] if s0 else 0
+            nxt = int(
+                np.searchsorted(
+                    cs, base_c + _WARM_SLICE_ENTRIES, side="left"
+                )
+            ) + 1
+            bounds.append(min(max(nxt, s0 + 1), s0 + 512, n_np.size))
         for bi in range(len(bounds) - 1):
             s0, s1 = bounds[bi], bounds[bi + 1]
             if deadline is not None and s0 and time.perf_counter() > deadline:
@@ -2270,6 +2287,12 @@ class IndexReader:
         import os as _os
 
         if cap is None:
+            # instance override first (set by code that must agree
+            # with a DRIVER-resolved cap across processes — e.g. the
+            # merge's derive task — per the driver-evaluated-env
+            # contract), then the env, then the 2^26 default
+            cap = getattr(self, "_dense_cap_override", None)
+        if cap is None:
             cap = int(
                 _os.environ.get("MICROFTS_DENSE_CAP", str(1 << 26))
             )
@@ -2455,7 +2478,15 @@ class IndexReader:
         the gather bytes matters on this bandwidth-bound box — the
         add path runs EVERY query for terms whose f32 vector is
         ambient-gated off. Cached per term (bounded by the same
-        entry budget as the f32 contribs)."""
+        entry budget as the f32 contribs).
+
+        int32 is only valid while the dense key space fits: the cap
+        defaults to 2^26 but MICROFTS_DENSE_CAP can raise it, and a
+        wrapped key would silently scatter a contribution onto the
+        wrong chunk (numpy accepts negative fancy indices) — above
+        INT32_MAX the original int64 keys are used as-is."""
+        if int(self._dense[1][-1]) > np.iinfo(np.int32).max:
+            return sk[0]
         k32 = self._add32_cache.get(g)
         if k32 is None:
             k32 = sk[0].astype(np.int32)
@@ -2782,9 +2813,12 @@ class QueryActor:
     `ray.remote(QueryActor)` via QueryService."""
 
     def __init__(
-        self, index_dir: str, prewarm: bool = True, vec_budget: int = 6 << 30
+        self, index_dir: str, prewarm: bool = True,
+        vec_budget: int = 6 << 30, add32_budget: int | None = None,
     ):
-        self.reader = IndexReader(index_dir, vec_budget=vec_budget)
+        self.reader = IndexReader(
+            index_dir, vec_budget=vec_budget, add32_budget=add32_budget
+        )
         if prewarm:
             # in-actor prewarm stays sequential (the pool itself is
             # the parallelism; nested Ray tasks would oversubscribe).
@@ -2818,29 +2852,44 @@ class QueryService:
 
         pkg_root = _pkg_root()
 
-        def make(index_dir: str, prewarm: bool, vec_budget: int):
+        def make(
+            index_dir: str, prewarm: bool, vec_budget: int, add32: int
+        ):
             import sys
 
             if pkg_root not in sys.path:
                 sys.path.insert(0, pkg_root)
             from microfts_ray.pipelines.query import QueryActor as QA
 
-            return QA(index_dir, prewarm, vec_budget=vec_budget)
+            return QA(
+                index_dir, prewarm, vec_budget=vec_budget,
+                add32_budget=add32,
+            )
 
         # wrap construction so workers bootstrap sys.path first
         @_ray.remote
         class _Actor:
-            def __init__(self, index_dir: str, prewarm: bool, vec_budget: int):
-                self.inner = make(index_dir, prewarm, vec_budget)
+            def __init__(
+                self, index_dir: str, prewarm: bool, vec_budget: int,
+                add32: int,
+            ):
+                self.inner = make(index_dir, prewarm, vec_budget, add32)
 
             def call(self, method: str, args: tuple, kw: dict):
                 return getattr(self.inner, method)(*args, **kw)
 
-        # the dense-vector budget is a HOST budget: divide it across
-        # the pool so N actors can't hold N private full-size sets
+        # the dense-vector and add-pair budgets are HOST budgets:
+        # divide them across the pool so N actors can't hold N
+        # private full-size sets (both caches are per-process copies)
+        import os as _os
+
         vec_budget = (6 << 30) // max(1, n_actors)
+        add32_budget = int(
+            _os.environ.get("MICROFTS_ADD32_BYTES", str(1 << 30))
+        ) // max(1, n_actors)
         self._actors = [
-            _Actor.remote(index_dir, prewarm, vec_budget) for _ in range(n_actors)
+            _Actor.remote(index_dir, prewarm, vec_budget, add32_budget)
+            for _ in range(n_actors)
         ]
         self._rr = 0
 
