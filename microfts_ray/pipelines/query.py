@@ -830,19 +830,48 @@ class IndexReader:
             ):
                 aborted_at = i
                 break
-            tbl = seg._pf.read(
-                columns=["term", "n", "dict", "doc_blob", "chunk_blob",
-                         "tf_blob", "dl_blob"]
-                if "dict" in seg._pf.schema_arrow.names
-                else ["term", "n", "doc_blob", "chunk_blob", "tf_blob", "dl_blob"]
+            pf = seg._pf
+            cols = (
+                ["term", "n", "dict", "doc_blob", "chunk_blob",
+                 "tf_blob", "dl_blob"]
+                if "dict" in pf.schema_arrow.names
+                else ["term", "n", "doc_blob", "chunk_blob",
+                      "tf_blob", "dl_blob"]
             )
-            dropped: list = []
-            self._warm_table_slices(
-                tbl, terms_arr, parts, gmaps,
-                deadline=deadline, deferred_out=dropped,
-            )
-            if dropped:
-                deferred.update(int(t) for t in dropped)
+            # ROW-GROUP-wise read with deadline checks between groups:
+            # a whole-segment read is indivisible (run-16 measured the
+            # top-up overrunning its 4 s budget to 9.3 s on one such
+            # read mid-collapse) — per group the overrun is bounded at
+            # one group's decompress. Concat order is unchanged (group
+            # order == table order) so outputs stay bit-identical.
+            seg_aborted = False
+            for gi in range(pf.metadata.num_row_groups):
+                if (
+                    deadline is not None
+                    and (gi or i)
+                    and time.perf_counter() > deadline
+                ):
+                    seg_aborted = True
+                    break
+                tbl = pf.read_row_groups([gi], columns=cols)
+                dropped: list = []
+                self._warm_table_slices(
+                    tbl, terms_arr, parts, gmaps,
+                    deadline=deadline, deferred_out=dropped,
+                )
+                if dropped:
+                    deferred.update(int(t) for t in dropped)
+                    seg_aborted = True
+                    break
+            if seg_aborted:
+                # a term may span row groups, and partial parts from
+                # this segment's earlier groups are NOT tracked per
+                # group — conservatively defer every requested term
+                # this segment holds (completed-in-earlier-segments
+                # terms are unaffected)
+                for t in terms_arr[np.isin(terms_arr, seg.terms)]:
+                    parts.pop(int(t), None)
+                    deferred.add(int(t))
                 aborted_at = i + 1
                 break
         if aborted_at is not None:
