@@ -1143,7 +1143,10 @@ class IndexReader:
         return keymaps, dlmaps
 
     def _prewarm_topup(
-        self, min_entries: int, term_range: tuple[int, int] | None
+        self,
+        min_entries: int,
+        term_range: tuple[int, int] | None,
+        parallel: bool | None = None,
     ) -> tuple[float, float]:
         """TOP-UP pass for a loaded-but-partial warm cache: the
         emission's decode budget may have deferred warm-eligible terms
@@ -1151,27 +1154,31 @@ class IndexReader:
         first query pass doesn't pay their decodes serially. No-op
         after a full-depth emission. Returns (enum_s, topup_s).
 
-        Two hard-won bounds (run-14 profile): a FRESH ambient probe
-        gate — inside a collapse even the cheapest single-term lazy
-        decode costs a full shard row-group read+decompress (29 s
-        measured for a ~min_entries term), so no top-up spend is
-        affordable there (deferred terms decode lazily per query,
-        paying only for terms actually used) — and ONE bulk pass over
-        the shard tables (warm_terms_bulk, deadline-bounded in-call):
-        per-term decodes cost a whole row group each no matter how
-        small the term, so reading each segment once for ALL missing
-        terms is both the cheap path and the bounded one."""
+        Two execution paths, both wall-clock bounded at ~the budget:
+
+        * FAN-OUT (default when Ray is up and there's enough work):
+          shard-aligned Ray tasks run warm_terms_bulk in separate
+          processes, bounded by ray.wait(timeout) + force-cancel of
+          stragglers (their terms just stay deferred). This is the
+          path that exploits this VM's dominant degraded episode,
+          where ONE process gets 0.05-0.5 GB/s but four concurrent
+          processes measure ~4 GB/s EACH (watcher log, round 4) —
+          and on a real multi-node cluster every node brings its own
+          bus.
+        * IN-PROCESS (parallel=False, e.g. QueryActor's in-actor
+          prewarm — the pool is the parallelism; nested tasks would
+          oversubscribe): gated on a FRESH single-stream probe
+          (inside a collapse even the cheapest single-term lazy
+          decode costs a full row-group read — 29 s measured for a
+          ~min_entries term, run 14) and bounded by
+          warm_terms_bulk's in-call deadline."""
         import os as _os
         import time as _time
 
         topup = float(
             _os.environ.get("MICROFTS_PREWARM_TOPUP_SECONDS", "4")
         )
-        if (
-            topup <= 0
-            or self._dense_space() is None
-            or _cached_gbps(ttl=0.0) < 1.5
-        ):
+        if topup <= 0 or self._dense_space() is None:
             return 0.0, 0.0
         _te = _time.perf_counter()
         totals: dict[int, int] = {}
@@ -1186,8 +1193,77 @@ class IndexReader:
             and t not in self._sorted_kc
             and (term_range is None or term_range[0] <= t < term_range[1])
         ]
+        if not cands:
+            return _enum_s, 0.0
+        import ray as _ray
+
+        if parallel is None:
+            parallel = _ray.is_initialized() and len(cands) >= 4
         t0 = _time.perf_counter()
-        if cands:
+        if parallel and _ray.is_initialized():
+            from .build import _pkg_root
+
+            pkg_root = _pkg_root()
+            index_dir = self.index_dir
+            try:
+                dl_space = self._chunk_dl_space()
+            except KeyError:
+                dl_space = None
+            shared_ref = _ray.put(
+                (self._dense, dl_space, self._warm_maps())
+            )
+            per_host = int(_os.environ.get("MICROFTS_WARM_TASKS", "6"))
+            n_tasks = min(per_host, max(1, len(cands)))
+            if self._shard_bounds is not None:
+                terms_arr = np.array(sorted(cands), dtype=np.int64)
+                shard_of = (
+                    np.searchsorted(
+                        self._shard_bounds, terms_arr, side="right"
+                    )
+                    - 1
+                )
+                per_shard = [
+                    terms_arr[shard_of == s].tolist()
+                    for s in range(self.n_shards)
+                ]
+                chunks = [[] for _ in range(n_tasks)]
+                for s, ts in enumerate(per_shard):
+                    chunks[s * n_tasks // max(1, len(per_shard))].extend(ts)
+            else:
+                chunks = [sorted(cands)[i::n_tasks] for i in range(n_tasks)]
+
+            def topup_task(terms: list[int]) -> dict:
+                import sys
+
+                if pkg_root not in sys.path:
+                    sys.path.insert(0, pkg_root)
+                from microfts_ray.pipelines.query import IndexReader as IR
+
+                r = IR(index_dir)
+                dense_val, dl_val, maps_val = _ray.get(shared_ref)
+                r._dense = dense_val
+                if dl_val is not None:
+                    r._chunk_dl_cache = dl_val
+                return r.warm_terms_bulk(terms, maps=maps_val)
+
+            remote = _ray.remote(num_cpus=1)(topup_task)
+            futs = [remote.remote(c) for c in chunks if c]
+            done, pending = _ray.wait(
+                futs, num_returns=len(futs), timeout=topup
+            )
+            for p in pending:
+                # budget spent: kill stragglers, their terms stay
+                # deferred (decode lazily per query / next prewarm)
+                _ray.cancel(p, force=True)
+            for fut in done:
+                try:
+                    got = _ray.get(fut)
+                except Exception:
+                    continue  # cancelled/died worker: stays deferred
+                for t, (k, c, n) in got.items():
+                    self._sorted_kc[int(t)] = (k, c)
+                    self._term_len_cache[int(t)] = int(n)
+        elif _cached_gbps(ttl=0.0) >= 1.5:
             got = self.warm_terms_bulk(cands, deadline=t0 + topup)
             for t, (k, c, n) in got.items():
                 self._sorted_kc[int(t)] = (k, c)
@@ -1221,7 +1297,9 @@ class IndexReader:
 
             _tw0 = _time.perf_counter()
             _n_before = len(self._sorted_kc)
-            _enum_s, _topup_s = self._prewarm_topup(min_entries, term_range)
+            _enum_s, _topup_s = self._prewarm_topup(
+                min_entries, term_range, parallel=parallel
+            )
             _vec_s = 0.0
             if self._dense_space() is not None:
                 # eager-build MISSING dense vectors hottest-first,

@@ -1329,6 +1329,7 @@ def test_prewarm_topup_bulk_warms_deferred_terms(
         del r._sorted_kc[t]
         r._term_len_cache.pop(t, None)
     n_before = len(r._sorted_kc)
+    # fan-out path (Ray tasks, the default when a session is up)
     enum_s, topup_s = r._prewarm_topup(50, None)
     # every evicted term must be re-warmed, bit-identical to the
     # emission's own entries
@@ -1343,13 +1344,21 @@ def test_prewarm_topup_bulk_warms_deferred_terms(
         assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
             (h["doc_id"], h["chunk_id"], h["score"]) for h in want
         ], q
-    # the collapse gate: with a collapsed fresh probe the top-up must
-    # refuse to spend anything
+    # the in-process path (parallel=False, QueryActor's in-actor
+    # prewarm) re-warms identically at a healthy probe
+    for t in evicted:
+        del r._sorted_kc[t]
+        r._term_len_cache.pop(t, None)
+    r._prewarm_topup(50, None, parallel=False)
+    for t in evicted:
+        k, c = r._sorted_kc[t]
+        assert np.array_equal(np.asarray(k), np.asarray(full_ref[t][0])), t
+    # ... and refuses to spend anything when the fresh probe says the
+    # (single-process) bus is collapsed
     monkeypatch.setattr(qmod, "_cached_gbps", lambda ttl=20.0: 0.2)
     for t in evicted:
         del r._sorted_kc[t]
-    _, topup_s2 = r._prewarm_topup(50, None)
-    assert topup_s2 == 0.0
+    _, topup_s2 = r._prewarm_topup(50, None, parallel=False)
     assert all(t not in r._sorted_kc for t in evicted)
     # an expired deadline defers rather than emits truncated entries
     monkeypatch.setattr(qmod, "_cached_gbps", lambda ttl=20.0: 10.0)
