@@ -1064,6 +1064,18 @@ def merge_index(
             sha = _IR2(index_dir)._manifest_sha()
             target = os.path.join(index_dir, "warmcache", sha)
             store = _warmstore()
+            if store is not None:
+                try:
+                    # park the shared-tuple ref for this generation:
+                    # prewarm's fan-out top-up otherwise rebuilds the
+                    # dense/dl/rank maps and re-ray.puts them — ~20 s
+                    # of single-process work inside a collapse
+                    # (list-wrapped: top-level refs auto-deref)
+                    ray.get(
+                        store.put_shared.remote(sha, [warm_ctx[0]])
+                    )
+                except Exception:
+                    pass
             os.makedirs(target, exist_ok=True)
             if os.path.isdir(staging):
                 for name in sorted(os.listdir(staging)):

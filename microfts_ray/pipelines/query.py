@@ -1205,13 +1205,39 @@ class IndexReader:
 
             pkg_root = _pkg_root()
             index_dir = self.index_dir
-            try:
-                dl_space = self._chunk_dl_space()
-            except KeyError:
-                dl_space = None
-            shared_ref = _ray.put(
-                (self._dense, dl_space, self._warm_maps())
-            )
+            # reuse the merge's parked shared tuple (dense/dl/rank
+            # maps) when the generation's emitter left it in the
+            # store: rebuilding + re-ray.putting it here measured
+            # ~20 s of single-process work inside a collapse (run
+            # 17's topup_s). Fall back to building when absent
+            # (cross-session restart / owner gone / cap edge).
+            shared_ref = None
+            store = _warmstore()
+            if store is not None:
+                try:
+                    wrapped = _ray.get(
+                        store.get_shared.remote(self._manifest_sha())
+                    )
+                    if wrapped is not None:
+                        probe = _ray.get(wrapped[0], timeout=2)
+                        if probe is not None:
+                            shared_ref = wrapped[0]
+                except Exception:
+                    shared_ref = None
+            if shared_ref is None:
+                if _cached_gbps(ttl=0.0) < 1.5:
+                    # no parked tuple AND a collapsed single stream:
+                    # the rebuild below would be the very unbounded
+                    # single-process spend this budget exists to
+                    # prevent — leave the terms deferred
+                    return _enum_s, _time.perf_counter() - t0
+                try:
+                    dl_space = self._chunk_dl_space()
+                except KeyError:
+                    dl_space = None
+                shared_ref = _ray.put(
+                    (self._dense, dl_space, self._warm_maps())
+                )
             per_host = int(_os.environ.get("MICROFTS_WARM_TASKS", "6"))
             n_tasks = min(per_host, max(1, len(cands)))
             if self._shard_bounds is not None:
@@ -3427,6 +3453,24 @@ class _WarmStoreImpl:
 
     def get_dir(self, dirpath: str):
         return self._dirs.get(dirpath)
+
+    def put_shared(self, sha: str, ref_w) -> bool:
+        """Park the merge's warm SHARED TUPLE ref (dense space,
+        chunk-dl space, rank maps) for the generation: prewarm's
+        fan-out top-up rebuilds + re-ray.puts this otherwise —
+        ~20 s of single-process work inside a collapse (run 17).
+        ref_w arrives LIST-WRAPPED (top-level refs auto-deref)."""
+        self._shared = getattr(self, "_shared", {})
+        self._shared[sha] = ref_w[0]
+        return True
+
+    def get_shared(self, sha: str):
+        """The parked shared-tuple ref, LIST-WRAPPED (or None). The
+        underlying object is owned by the merge driver; a caller in a
+        different session must handle ray.get failing and fall back
+        to rebuilding (prewarm does)."""
+        ref = getattr(self, "_shared", {}).get(sha)
+        return [ref] if ref is not None else None
 
     def park_path(self, path: str, max_bytes: int = 64 << 20) -> bool:
         """Read a file from disk INSIDE the store actor and park it.
