@@ -986,10 +986,14 @@ class IndexReader:
         while bounds[-1] < n_np.size:
             s0 = bounds[-1]
             base_c = cs[s0 - 1] if s0 else 0
+            # the FIRST slice is the guaranteed-progress one — it
+            # decodes even past the deadline (the check below skips
+            # s0 == 0), so keep it small: run 19 measured a 128k-entry
+            # first slice running 67 s inside a ~0.1 MB/s collapse
+            # tail, un-preemptable mid-kernel
+            budget_e = 8_192 if s0 == 0 else _WARM_SLICE_ENTRIES
             nxt = int(
-                np.searchsorted(
-                    cs, base_c + _WARM_SLICE_ENTRIES, side="left"
-                )
+                np.searchsorted(cs, base_c + budget_e, side="left")
             ) + 1
             bounds.append(min(max(nxt, s0 + 1), s0 + 512, n_np.size))
         for bi in range(len(bounds) - 1):
@@ -3817,7 +3821,22 @@ def _write_warm_dir(
             # FORCES the build (no budget, no gate — the threaded
             # form of MICROFTS_VEC_BUDGET_SECONDS=0).
             force = vec_seconds is not None and vec_seconds <= 0
-            degraded = (not force) and _cached_gbps() < 1.0
+            # fresher probe (5 s TTL) + a probe-derived FIRST-build
+            # estimate: the last_cost prediction below can't see the
+            # first build, which measured 5-11 s per dir inside run
+            # 19's collapse tail (172.9 worker-seconds total vs the
+            # ~36 the budget allows). A build touches ~3x 4*dense_k
+            # bytes; skip the whole phase when even one is predicted
+            # to overrun the dir's budget.
+            gbps = _cached_gbps(ttl=5.0) if not force else 0.0
+            degraded = (not force) and gbps < 1.0
+            if (
+                not force
+                and not degraded
+                and vec_seconds is not None
+                and (3.0 * 4.0 * dense_k) / (gbps * 1e9) > vec_seconds
+            ):
+                degraded = True
             last_cost = 0.0
             for t in sorted(terms, key=lambda t: -out[t][0].size):
                 k, c = out[t][0], out[t][1]
