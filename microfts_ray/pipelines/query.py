@@ -1146,6 +1146,115 @@ class IndexReader:
         self._warm_maps_cache = (keymaps, dlmaps)
         return keymaps, dlmaps
 
+    def _parked_shared_ref(self):
+        """The merge-parked warm shared-tuple ref for THIS generation
+        (list-unwrapped), or None. Probed once and cached per reader:
+        the fan-out decode paths reuse it every call, and a missing
+        ref stays missing for the session (the fallback is the
+        caller's inline/rebuild path)."""
+        cached = getattr(self, "_shared_ref_cache", None)
+        if cached is not None:
+            return cached[0]
+        import ray as _ray
+
+        ref = None
+        store = _warmstore()
+        if store is not None and _ray.is_initialized():
+            try:
+                wrapped = _ray.get(
+                    store.get_shared.remote(self._manifest_sha())
+                )
+                if wrapped is not None and _ray.get(
+                    wrapped[0], timeout=2
+                ) is not None:
+                    ref = wrapped[0]
+            except Exception:
+                ref = None
+        self._shared_ref_cache = (ref,)
+        return ref
+
+    def _fan_out_warm(self, term_chunks: list[list[int]], shared_ref,
+                      timeout: float | None = None) -> int:
+        """Decode term chunks in parallel Ray tasks against the parked
+        shared tuple; merge bit-identical results into the warm cache.
+        With a timeout, stragglers are force-cancelled (their terms
+        stay deferred); without one every chunk is awaited — used when
+        the caller needs the data anyway and parallel is strictly
+        faster than its serial fallback. Returns terms warmed."""
+        import ray as _ray
+
+        from .build import _pkg_root
+
+        pkg_root = _pkg_root()
+        index_dir = self.index_dir
+
+        def warm_chunk(terms: list[int]) -> dict:
+            import sys
+
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from microfts_ray.pipelines.query import IndexReader as IR
+
+            r = IR(index_dir)
+            dense_val, dl_val, maps_val = _ray.get(shared_ref)
+            r._dense = dense_val
+            if dl_val is not None:
+                r._chunk_dl_cache = dl_val
+            return r.warm_terms_bulk(terms, maps=maps_val)
+
+        remote = _ray.remote(num_cpus=1)(warm_chunk)
+        futs = [remote.remote(c) for c in term_chunks if c]
+        if timeout is not None:
+            done, pending = _ray.wait(
+                futs, num_returns=len(futs), timeout=timeout
+            )
+            for p in pending:
+                _ray.cancel(p, force=True)
+            futs = done
+        warmed = 0
+        for fut in futs:
+            try:
+                got = _ray.get(fut)
+            except Exception:
+                continue  # cancelled/died: terms stay deferred
+            for t, (k, c, n) in got.items():
+                self._sorted_kc[int(t)] = (k, c)
+                self._term_len_cache[int(t)] = int(n)
+                warmed += 1
+        return warmed
+
+    def _ensure_terms_warm(self, infos: list[tuple[int, int]]) -> None:
+        """Pre-decode a query's MISSING hot terms in parallel Ray
+        tasks when one process is bandwidth-starved but the host
+        isn't: this VM's dominant degraded episode gives a single
+        process 0.05-0.5 GB/s while four concurrent processes measure
+        ~4 GB/s each (run-21: first BM25 pass 92 s, all of it serial
+        per-query row-group decodes, while the 4-proc probe read
+        15.6 GB/s). No timeout — the query needs these postings
+        either way, and the parallel decode is strictly faster than
+        the serial inline fallback whenever the gate (collapsed fresh
+        single-stream probe) admitted it. No-op once warm, at healthy
+        ambient, without Ray, or without the parked shared tuple."""
+        if self._dense_space() is None:
+            return
+        missing = [
+            (g, n)
+            for g, n in infos
+            if g not in self._sorted_kc and n >= 50_000
+        ]
+        if len(missing) < 2:
+            return  # one decode gains nothing from a fan-out
+        import ray as _ray
+
+        if not _ray.is_initialized():
+            return
+        if _cached_gbps(ttl=5.0) >= 1.5:
+            return  # healthy single stream: inline decode is cheap
+        shared_ref = self._parked_shared_ref()
+        if shared_ref is None:
+            return
+        self._fan_out_warm([[g] for g, _ in missing], shared_ref)
+
     def _prewarm_topup(
         self,
         min_entries: int,
@@ -1205,29 +1314,13 @@ class IndexReader:
             parallel = _ray.is_initialized() and len(cands) >= 4
         t0 = _time.perf_counter()
         if parallel and _ray.is_initialized():
-            from .build import _pkg_root
-
-            pkg_root = _pkg_root()
-            index_dir = self.index_dir
             # reuse the merge's parked shared tuple (dense/dl/rank
             # maps) when the generation's emitter left it in the
             # store: rebuilding + re-ray.putting it here measured
             # ~20 s of single-process work inside a collapse (run
             # 17's topup_s). Fall back to building when absent
             # (cross-session restart / owner gone / cap edge).
-            shared_ref = None
-            store = _warmstore()
-            if store is not None:
-                try:
-                    wrapped = _ray.get(
-                        store.get_shared.remote(self._manifest_sha())
-                    )
-                    if wrapped is not None:
-                        probe = _ray.get(wrapped[0], timeout=2)
-                        if probe is not None:
-                            shared_ref = wrapped[0]
-                except Exception:
-                    shared_ref = None
+            shared_ref = self._parked_shared_ref()
             if shared_ref is None:
                 if _cached_gbps(ttl=0.0) < 1.5:
                     # no parked tuple AND a collapsed single stream:
@@ -1261,38 +1354,10 @@ class IndexReader:
                     chunks[s * n_tasks // max(1, len(per_shard))].extend(ts)
             else:
                 chunks = [sorted(cands)[i::n_tasks] for i in range(n_tasks)]
-
-            def topup_task(terms: list[int]) -> dict:
-                import sys
-
-                if pkg_root not in sys.path:
-                    sys.path.insert(0, pkg_root)
-                from microfts_ray.pipelines.query import IndexReader as IR
-
-                r = IR(index_dir)
-                dense_val, dl_val, maps_val = _ray.get(shared_ref)
-                r._dense = dense_val
-                if dl_val is not None:
-                    r._chunk_dl_cache = dl_val
-                return r.warm_terms_bulk(terms, maps=maps_val)
-
-            remote = _ray.remote(num_cpus=1)(topup_task)
-            futs = [remote.remote(c) for c in chunks if c]
-            done, pending = _ray.wait(
-                futs, num_returns=len(futs), timeout=topup
-            )
-            for p in pending:
-                # budget spent: kill stragglers, their terms stay
-                # deferred (decode lazily per query / next prewarm)
-                _ray.cancel(p, force=True)
-            for fut in done:
-                try:
-                    got = _ray.get(fut)
-                except Exception:
-                    continue  # cancelled/died worker: stays deferred
-                for t, (k, c, n) in got.items():
-                    self._sorted_kc[int(t)] = (k, c)
-                    self._term_len_cache[int(t)] = int(n)
+            # budget as wait-timeout: stragglers are cancelled and
+            # their terms stay deferred (decode lazily per query /
+            # next prewarm)
+            self._fan_out_warm(chunks, shared_ref, timeout=topup)
         elif _cached_gbps(ttl=0.0) >= 1.5:
             got = self.warm_terms_bulk(cands, deadline=t0 + topup)
             for t, (k, c, n) in got.items():
@@ -2384,6 +2449,11 @@ class IndexReader:
         infos = [(g, n) for g, n in infos if n > 0]
         if not infos:
             return []
+        # first-touch queries inside a single-process bandwidth
+        # collapse: decode the missing hot terms in parallel tasks
+        # instead of serially in-process (no-op once warm / at
+        # healthy ambient / without Ray or the parked shared tuple)
+        self._ensure_terms_warm(infos)
         total = sum(n for _, n in infos)
         dense = self._dense_space()
         if total <= prune_threshold:
