@@ -346,7 +346,7 @@ def q_fuzzy_search(sf_dir: str) -> pa.Table:
     return pa.table(
         {
             "doc_id": pa.array(ids, pa.int64()),
-            "percent": pa.array([h["percent"] for h in hits], pa.float64()),
+            "percent": hits["percent"],
         }
     )
 

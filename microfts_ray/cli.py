@@ -80,7 +80,12 @@ def go_printf(fmt: str, args: tuple) -> str:
     return _GO_VERB.sub(sub, fmt)
 
 
-def _print_hits(hits: list[dict], args, reader=None) -> bool:
+def _print_hits(hits, args, reader=None) -> bool:
+    # the engine returns Arrow tables (query.py HITS/FUZZY_SCHEMA);
+    # the CLI is the one edge that materializes Python rows, and only
+    # the rows it is about to print
+    if hasattr(hits, "to_pylist"):
+        hits = hits.to_pylist()
     fmt = getattr(args, "format", None)
     # group wrappers (-start-format / -end-format): printed around
     # each FILE group's matches, printf arg = the group name
@@ -418,7 +423,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0 if hits else 1
     if args.fuzzy:
         hits = reader.fuzzy(
-            *args.terms, threshold=args.fuzzy / 100.0, sort_all=args.sort
+            *args.terms, threshold=args.fuzzy / 100.0, sort_all=args.sort,
+            limit=args.limit,
         )
         return 0 if _print_hits(hits, args, reader) else 1
     hits = reader.search(

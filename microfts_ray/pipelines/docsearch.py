@@ -76,10 +76,17 @@ def get_reader(sf_dir: str) -> IndexReader:
     return _readers[key]
 
 
-def hit_doc_ids(hits: list[dict]) -> list[int]:
-    """Map engine hits back to documents.doc_id via the path field."""
+def hit_doc_ids(hits) -> list[int]:
+    """Map engine hits back to documents.doc_id via the path field.
+    Accepts the Arrow hits table (search/fuzzy) or a list of dicts
+    (search_file)."""
+    groups = (
+        hits["group"].to_pylist()
+        if isinstance(hits, pa.Table)
+        else [h["group"] for h in hits]
+    )
     out = []
-    for h in hits:
-        path = h["group"].split("/", 1)[1].split("@", 1)[0]
+    for g in groups:
+        path = g.split("/", 1)[1].split("@", 1)[0]
         out.append(int(path.removeprefix("doc_")))
     return out

@@ -48,6 +48,32 @@ _EMPTY_RUN = PostingRun(
     np.empty(0, dtype=np.uint64),
 )
 
+# result schemas for the search modes: hits stay Arrow tables end to
+# end (reader -> actor return -> driver); the CLI converts only the
+# rows it prints (round-5: the list[dict] contract was an unbounded
+# single-process driver materialization — ~1.12M dicts on the bench's
+# broad fuzzy query)
+HITS_SCHEMA = pa.schema(
+    [
+        ("group", pa.string()),
+        ("doc_id", pa.int64()),
+        ("chunk_id", pa.int64()),
+        ("line", pa.int64()),
+        ("offset", pa.int64()),
+        ("text", pa.string()),
+    ]
+)
+FUZZY_SCHEMA = pa.schema(
+    [
+        ("group", pa.string()),
+        ("doc_id", pa.int64()),
+        ("chunk_id", pa.int64()),
+        ("line", pa.int64()),
+        ("percent", pa.float64()),
+        ("text", pa.string()),
+    ]
+)
+
 # entries per warm-decode slice: small enough that the in-call decode
 # deadline (_warm_table_slices) overruns by well under a second even
 # inside a 30x bandwidth collapse, large enough that per-slice
@@ -2252,12 +2278,18 @@ class IndexReader:
         partial: bool = False,
         regexp_filter: str | None = None,
         limit_per_group: int | None = None,
-    ) -> list[dict]:
+    ) -> pa.Table:
         """Exact/partial AND search + verification (cmdSearch default
-        path); ordering: group asc, chunk asc (K1/K2)."""
+        path); ordering: group asc, chunk asc (K1/K2).
+
+        Returns an Arrow table (group, doc_id, chunk_id, line, offset,
+        text) — results stay zero-copy Arrow end-to-end (actor return,
+        object store, driver); the CLI converts only the rows it
+        prints. A broad query's result is ~one buffer, not millions of
+        driver-side dicts."""
         cand = self.candidates(gram_set(*args, partial=partial))
         if cand is None or len(cand) == 0:
-            return []
+            return HITS_SCHEMA.empty_table()
         # reference semantics (fts-lmdb.go:1359, OracleIndex.search):
         # the per-group CANDIDATE list (sorted by chunk position) is
         # truncated to limit_per_group BEFORE verification — a gram
@@ -2281,33 +2313,52 @@ class IndexReader:
             keep = cumcount < limit_per_group
             d_arr, c_arr, g_arr = d_arr[keep], c_arr[keep], g_arr[keep]
         if d_arr.size == 0:
-            return []
-        sel, offsets, lines = self.scan_rows(
-            d_arr, c_arr, args=args, partial=partial, regexp_filter=regexp_filter
+            return HITS_SCHEMA.empty_table()
+        sel, offsets, texts = self.scan_rows(
+            d_arr, c_arr, args=args, partial=partial,
+            regexp_filter=regexp_filter, as_arrow=True,
         )
-        # assembly over plain Python values (batch .tolist() beats
-        # per-row int()/indexing by ~3x at 100k+ rows)
-        g_l = names[g_arr[sel]].tolist()
-        d_l = d_arr[sel].tolist()
-        c_l = c_arr[sel].tolist()
-        o_l = offsets.tolist()
-        return [
+        if sel.size == 0:
+            return HITS_SCHEMA.empty_table()
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.array(texts, pa.string())
+        c_sel = c_arr[sel].astype(np.int64, copy=False)
+        return pa.table(
             {
-                "group": g,
-                "doc_id": di,
-                "chunk_id": ci,
-                "line": ci + 1,
-                "offset": o,
-                "text": text,
-            }
-            for g, di, ci, o, text in zip(g_l, d_l, c_l, o_l, lines)
-        ]
+                "group": pa.array(names[g_arr[sel]], pa.string()),
+                "doc_id": pa.array(d_arr[sel].astype(np.int64, copy=False)),
+                "chunk_id": pa.array(c_sel),
+                "line": pa.array(c_sel + 1),
+                "offset": pa.array(offsets.astype(np.int64, copy=False)),
+                "text": texts,
+            },
+            schema=HITS_SCHEMA,
+        )
 
-    def fuzzy(self, *args: str, threshold: float, sort_all: bool = False) -> list[dict]:
-        """Fuzzy gram-overlap (fuzzyMatch, fts-lmdb.go:1530-1550)."""
+    def fuzzy(
+        self,
+        *args: str,
+        threshold: float,
+        sort_all: bool = False,
+        limit: int | None = None,
+    ) -> pa.Table:
+        """Fuzzy gram-overlap (fuzzyMatch, fts-lmdb.go:1530-1550).
+
+        Returns an Arrow table (group, doc_id, chunk_id, line, percent,
+        text) in result order — broad fuzzy queries match ~every chunk,
+        so the result stays a handful of Arrow buffers instead of
+        millions of driver-side Python dicts (a measured 100+ s
+        single-process tax under this VM's per-process bandwidth
+        collapse, and an unbounded driver materialization at scale).
+        `limit` caps the ordered result to its first N rows — the
+        deterministic analogue of the reference's `-limit`
+        (fts-lmdb.go:1352-1360 truncates the UNSORTED hits map at
+        cfg.limit, i.e. Go-map-iteration nondeterministic); the cap is
+        applied before text gather so capped queries never ship the
+        full text column."""
         grams = sorted(gram_set(*args, partial=True))
         if not grams:
-            return []
+            return FUZZY_SCHEMA.empty_table()
         if self._dense_space() is not None:
             # dense overlap counting: one counter pass per gram
             doc_ids, base = self._dense
@@ -2316,7 +2367,7 @@ class IndexReader:
             for g in grams:
                 keys = self._term_keys(g)
                 if keys.size == 0:
-                    return []
+                    return FUZZY_SCHEMA.empty_table()
                 count[keys] += 1
             hit = np.nonzero(count)[0]
             n = count[hit].astype(np.float64)
@@ -2328,7 +2379,7 @@ class IndexReader:
             for g in grams:
                 run = self.term_postings(g)
                 if len(run) == 0:
-                    return []
+                    return FUZZY_SCHEMA.empty_table()
                 docs.append(run.doc_ids)
                 chunks.append(run.chunk_ids)
                 counts.append(np.ones(len(run)))
@@ -2341,38 +2392,40 @@ class IndexReader:
         keep = pct >= threshold
         d, c, pct = d[keep], c[keep], pct[keep]
         if d.size == 0:
-            return []
-        # no-verify mode: all rows survive, lines stay in Arrow until
-        # the final ordered to_pylist
-        _, _, texts = self.scan_rows(d, c, as_arrow=True)
-        if not len(texts):
-            return []
+            return FUZZY_SCHEMA.empty_table()
         # vectorized result ordering: per-unique-doc group codes, one
         # lexsort — a Python tuple-key sort over millions of hit rows
-        # was a multi-second tax
+        # was a multi-second tax. Ordering needs no text, so the cap
+        # applies BEFORE the scan: the distributed read only ever
+        # touches rows the result will contain.
         names, codes = self.doc_group_codes(d)
         pct100 = pct * 100.0
         if sort_all:
             order = np.lexsort((c, codes, pct100))
         else:
             order = np.lexsort((c, -pct100, codes))
-        # single C-level struct materialization: building 1M+ result
-        # dicts in a Python zip loop (plus four .tolist() passes) was
-        # a measured multi-second driver-side tax on the fuzzy bench
-        # line; StructArray.to_pylist produces the identical dicts
-        co = c[order].astype(np.int64, copy=False)
-        struct = pa.StructArray.from_arrays(
-            [
-                pa.array(names[codes[order]], pa.string()),
-                pa.array(d[order].astype(np.int64, copy=False)),
-                pa.array(co),
-                pa.array(co + 1),
-                pa.array(pct100[order], pa.float64()),
-                texts.take(pa.array(order)),
-            ],
-            names=["group", "doc_id", "chunk_id", "line", "percent", "text"],
+        if limit is not None:
+            order = order[: max(0, int(limit))]
+        d_o = d[order]
+        c_o = c[order]
+        # no-verify mode: every candidate survives in input order, so
+        # passing the already-ordered rows returns texts aligned 1:1 —
+        # the result is a handful of Arrow buffers, never driver dicts
+        _, _, texts = self.scan_rows(d_o, c_o, as_arrow=True)
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            texts = pa.array(texts, pa.string())
+        co = c_o.astype(np.int64, copy=False)
+        return pa.table(
+            {
+                "group": pa.array(names[codes[order]], pa.string()),
+                "doc_id": pa.array(d_o.astype(np.int64, copy=False)),
+                "chunk_id": pa.array(co),
+                "line": pa.array(co + 1),
+                "percent": pa.array(pct100[order], pa.float64()),
+                "text": texts,
+            },
+            schema=FUZZY_SCHEMA,
         )
-        return struct.to_pylist()
 
     def search_file(self, *args: str, partial: bool = False) -> list[dict]:
         """Doc-level conjunction (intersectFileGrams, X2)."""
@@ -3040,10 +3093,11 @@ class QueryActor:
     def bm25_topk_docs(self, query: str, k: int = 10) -> list[dict]:
         return self.reader.bm25_topk_docs(query, k)
 
-    def search(self, *args: str, **kw) -> list[dict]:
+    def search(self, *args: str, **kw) -> pa.Table:
+        # Arrow table return: ships zero-copy through the object store
         return self.reader.search(*args, **kw)
 
-    def fuzzy(self, *args: str, **kw) -> list[dict]:
+    def fuzzy(self, *args: str, **kw) -> pa.Table:
         return self.reader.fuzzy(*args, **kw)
 
 
@@ -3110,10 +3164,15 @@ class QueryService:
 
         return _ray.get(self._next().call.remote("bm25_topk", (query, k), {}))
 
-    def search(self, *args: str, **kw) -> list[dict]:
+    def search(self, *args: str, **kw) -> pa.Table:
         import ray as _ray
 
         return _ray.get(self._next().call.remote("search", args, kw))
+
+    def fuzzy(self, *args: str, **kw) -> pa.Table:
+        import ray as _ray
+
+        return _ray.get(self._next().call.remote("fuzzy", args, kw))
 
 
 class ShardQueryActor:
@@ -3412,22 +3471,24 @@ class ShardedQueryService:
                 )
             m *= 4
 
-    def search(self, *args: str, **kw) -> list[dict]:
+    def search(self, *args: str, **kw) -> pa.Table:
         grams = sorted(gram_set(*args, partial=kw.get("partial", False)))
         if not grams:
-            return []
+            return HITS_SCHEMA.empty_table()
         infos = self._term_infos(grams)
         if any(infos.get(g, 0) == 0 for g in grams):
-            return []  # candidates() semantics: a missing gram empties
+            # candidates() semantics: a missing gram empties
+            return HITS_SCHEMA.empty_table()
         return self._route_whole("search", grams, infos, args, kw)
 
-    def fuzzy(self, *args: str, **kw) -> list[dict]:
+    def fuzzy(self, *args: str, **kw) -> pa.Table:
         grams = sorted(gram_set(*args, partial=True))
         if not grams:
-            return []
+            return FUZZY_SCHEMA.empty_table()
         infos = self._term_infos(grams)
         if any(infos.get(g, 0) == 0 for g in grams):
-            return []  # fuzzy() returns empty when any gram is missing
+            # fuzzy() returns empty when any gram is missing
+            return FUZZY_SCHEMA.empty_table()
         return self._route_whole("fuzzy", grams, infos, args, kw)
 
 

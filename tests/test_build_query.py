@@ -96,7 +96,7 @@ def test_content_sha_invariant(reader, corpus_dir):
 
 @pytest.mark.parametrize("args", QUERIES)
 def test_search_matches_oracle(reader, oracle, args):
-    got = reader.search(*args)
+    got = reader.search(*args).to_pylist()
     want = oracle.search(*args)
     assert [(r["doc_id"], r["chunk_id"], r["offset"]) for r in got] == [
         (r["doc_id"], r["chunk_id"], r["offset"]) for r in want
@@ -131,17 +131,17 @@ def test_limit_per_group_truncates_before_verify(tmp_path_factory):
     r = IndexReader(idx)
     o = OracleIndex.build(rows)
     for lim in (None, 1, 2):
-        got = r.search("ab", "cd", limit_per_group=lim)
+        got = r.search("ab", "cd", limit_per_group=lim).to_pylist()
         want = o.search("ab", "cd", limit_per_group=lim)
         assert [(x["doc_id"], x["chunk_id"]) for x in got] == [
             (x["doc_id"], x["chunk_id"]) for x in want
         ], lim
-    assert r.search("ab", "cd", limit_per_group=1) == []
+    assert r.search("ab", "cd", limit_per_group=1).num_rows == 0
     assert len(r.search("ab", "cd")) == 1
 
 
 def test_partial_search_matches_oracle(reader, oracle):
-    got = reader.search("retur", partial=True)
+    got = reader.search("retur", partial=True).to_pylist()
     want = oracle.search("retur", partial=True)
     assert [(r["doc_id"], r["chunk_id"]) for r in got] == [
         (r["doc_id"], r["chunk_id"]) for r in want
@@ -150,7 +150,7 @@ def test_partial_search_matches_oracle(reader, oracle):
 
 
 def test_fuzzy_matches_oracle(reader, oracle):
-    got = reader.fuzzy("def f_1(a, b)", threshold=0.6, sort_all=True)
+    got = reader.fuzzy("def f_1(a, b)", threshold=0.6, sort_all=True).to_pylist()
     want = oracle.fuzzy("def f_1(a, b)", threshold=0.6, sort_all=True)
     assert [(r["doc_id"], r["chunk_id"], round(r["percent"], 9)) for r in got] == [
         (r["doc_id"], r["chunk_id"], round(r["percent"], 9)) for r in want
@@ -196,7 +196,7 @@ def test_selective_unique_token(reader, oracle, corpus_dir):
     import hashlib
 
     uniq = "uniq_" + hashlib.sha256(b"1337:3").hexdigest()[:12]
-    got = reader.search(uniq)
+    got = reader.search(uniq).to_pylist()
     assert len(got) == 1
     assert got[0]["text"].endswith(uniq)
 
@@ -661,7 +661,7 @@ def test_merge_splits_ultra_hot_term(tmp_path_factory):
     assert r._term_sources(t0) == r.hot_segments[t0]
     # queries unchanged vs the oracle (the hot term spans sub-shards)
     oracle = OracleIndex.build(rows)
-    got = r.search("zzq", "mix")
+    got = r.search("zzq", "mix").to_pylist()
     want = oracle.search("zzq", "mix")
     assert got and [
         (h["group"], h["doc_id"], h["chunk_id"]) for h in got
@@ -678,7 +678,7 @@ def test_merge_splits_ultra_hot_term(tmp_path_factory):
     victim = rows[7]
     delete_doc(idx, victim["repo"], victim["path"], victim["commit"])
     r2 = IndexReader(idx)
-    got2 = r2.search("zzq", "mix")
+    got2 = r2.search("zzq", "mix").to_pylist()
     want2 = [
         h for h in oracle.search("zzq", "mix")
         if h["group"] != f"{victim['repo']}/{victim['path']}@{victim['commit']}"
@@ -771,8 +771,8 @@ def test_query_actor_pool(reader, oracle):
         (r["doc_id"], r["chunk_id"], r["score"]) for r in want
     ]
     # round-robin: both actors serve
-    a = svc.search("import", "mod_1")
-    b = svc.search("import", "mod_1")
+    a = svc.search("import", "mod_1").to_pylist()
+    b = svc.search("import", "mod_1").to_pylist()
     assert [(r["doc_id"], r["chunk_id"]) for r in a] == [
         (r["doc_id"], r["chunk_id"]) for r in b
     ]
@@ -797,12 +797,12 @@ def test_sharded_query_service_parity(reader, oracle):
         assert [(r["doc_id"], r["chunk_id"], r["score"]) for r in got] == [
             (r["doc_id"], r["chunk_id"], r["score"]) for r in want
         ], q
-    got = svc.search("import", "mod_1")
+    got = svc.search("import", "mod_1").to_pylist()
     want = oracle.search("import", "mod_1")
     assert [(r["group"], r["doc_id"], r["chunk_id"], r["text"]) for r in got] == [
         (r["group"], r["doc_id"], r["chunk_id"], r["text"]) for r in want
     ]
-    gf = svc.fuzzy("def f_1(a, b)", threshold=0.6)
+    gf = svc.fuzzy("def f_1(a, b)", threshold=0.6).to_pylist()
     wf = oracle.fuzzy("def f_1(a, b)", threshold=0.6)
     assert [(r["doc_id"], r["chunk_id"], r["percent"]) for r in gf] == [
         (r["doc_id"], r["chunk_id"], r["percent"]) for r in wf
@@ -1189,7 +1189,7 @@ def test_warm_decode_budget_defers_tail_serving_identical(
         assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
             (h["doc_id"], h["chunk_id"], h["score"]) for h in want
         ], q
-    got = r.search("import", "mod_1")
+    got = r.search("import", "mod_1").to_pylist()
     want = oracle.search("import", "mod_1")
     assert [(x["doc_id"], x["chunk_id"]) for x in got] == [
         (x["doc_id"], x["chunk_id"]) for x in want
@@ -1284,7 +1284,7 @@ def test_huge_corpus_regime_no_warm_maxscore_serving(
         assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
             (h["doc_id"], h["chunk_id"], h["score"]) for h in want
         ], q
-    got = r.search("import", "mod_1")
+    got = r.search("import", "mod_1").to_pylist()
     want = oracle.search("import", "mod_1")
     assert [(x["doc_id"], x["chunk_id"]) for x in got] == [
         (x["doc_id"], x["chunk_id"]) for x in want

@@ -55,7 +55,7 @@ def test_candidates_and_fuzzy(built):
     got = reader.candidates(gram_set("def"))
     want = oracle.candidates(gram_set("def"))
     assert {(int(d), int(c)) for d, c in zip(got.doc_ids, got.chunk_ids)} == want
-    f_got = reader.fuzzy("def f_1(a, b)", threshold=0.6, sort_all=True)
+    f_got = reader.fuzzy("def f_1(a, b)", threshold=0.6, sort_all=True).to_pylist()
     f_want = oracle.fuzzy("def f_1(a, b)", threshold=0.6, sort_all=True)
     assert [(r["doc_id"], r["chunk_id"]) for r in f_got] == [
         (r["doc_id"], r["chunk_id"]) for r in f_want

@@ -125,7 +125,7 @@ def test_org_oracle_engine_parity(tmp_path):
     build_index([p], idx, chunker="org", target_rows_per_part=2)
     reader = IndexReader(idx)
     oracle = OracleIndex.build(rows, chunker="org")
-    got = reader.search("paragraph text")
+    got = reader.search("paragraph text").to_pylist()
     want = oracle.search("paragraph text")
     assert [(r["doc_id"], r["chunk_id"]) for r in got] == [
         (r["doc_id"], r["chunk_id"]) for r in want

@@ -40,34 +40,34 @@ def oracle():
 
 def test_search_one_two(reader, oracle):
     # README.org:42-47: `search DB one two` -> lines 5 and 6
-    got = reader.search("one", "two")
+    got = reader.search("one", "two").to_pylist()
     assert [r["line"] for r in got] == [5, 6]
     assert [r["text"] for r in got] == ["one two three", "one three two"]
     assert got == oracle.search("one", "two")
 
 
 def test_search_single_terms(reader):
-    assert [r["line"] for r in reader.search("one")] == [1, 5, 6]
-    assert [r["line"] for r in reader.search("four")] == [3, 4]
-    assert [r["line"] for r in reader.search("four", "five")] == [4]
+    assert [r["line"] for r in reader.search("one").to_pylist()] == [1, 5, 6]
+    assert [r["line"] for r in reader.search("four").to_pylist()] == [3, 4]
+    assert [r["line"] for r in reader.search("four", "five").to_pylist()] == [4]
 
 
 def test_missing_gram_empty(reader):
     # fts-lmdb.go:1505-1507: any unindexed gram -> no results
-    assert reader.search("zebra") == []
+    assert reader.search("zebra").num_rows == 0
 
 
 def test_substring_fails_verification(reader):
     # 'on' has gram .ON present (word-start of 'one') but hasArg
     # requires word boundaries -> no match
-    assert reader.search("on") == []
+    assert reader.search("on").num_rows == 0
     # partial mode has no interior trigram for 2 chars -> empty too
-    assert reader.search("on", partial=True) == []
+    assert reader.search("on", partial=True).num_rows == 0
 
 
 def test_partial_three_chars(reader, oracle):
     # 'hre' is an interior trigram of 'three' -> partial matches
-    got = reader.search("hre", partial=True)
+    got = reader.search("hre", partial=True).to_pylist()
     assert [r["line"] for r in got] == [2, 5, 6]
     assert got == oracle.search("hre", partial=True)
 
@@ -78,7 +78,7 @@ def test_delete_then_gone(reader, oracle, tmp_path):
 
     delete_doc(reader.index_dir, ROW["repo"], ROW["path"], ROW["commit"])
     r2 = IndexReader(reader.index_dir)
-    assert r2.search("one", "two") == []
+    assert r2.search("one", "two").num_rows == 0
 
 
 def test_info_counts(reader):

@@ -66,7 +66,7 @@ def test_update_then_compact_equals_fresh_build(setup):
 
     # pre-compact: tombstoned docs never surface
     for q in [("def",), ("changed_fn",), ("import", "mod_1")]:
-        got = reader.search(*q)
+        got = reader.search(*q).to_pylist()
         want = oracle.search(*q)
         assert [(r["doc_id"], r["chunk_id"]) for r in got] == [
             (r["doc_id"], r["chunk_id"]) for r in want
@@ -142,13 +142,13 @@ def test_delete_doc_tombstone(setup):
     rows, src, idx, tmp = setup
     r0 = rows[0]
     reader = IndexReader(idx)
-    uniq_hits = reader.search("def")
+    uniq_hits = reader.search("def").to_pylist()
     delete_doc(idx, r0["repo"], r0["path"], r0["commit"])
     reader2 = IndexReader(idx)
     from microfts_ray.stages.tokenize import doc_id_for
 
     dead = doc_id_for(r0["repo"], r0["path"], r0["commit"])
-    hits = reader2.search("def")
+    hits = reader2.search("def").to_pylist()
     assert all(h["doc_id"] != dead for h in hits)
     assert len(hits) <= len(uniq_hits)
 
@@ -176,7 +176,7 @@ def test_delete_group_by_name_with_slashy_repo(setup):
     assert doc_id_for(r0["repo"], r0["path"], r0["commit"]) in m["tombstones"]
     reader = IndexReader(idx)
     dead = doc_id_for(r0["repo"], r0["path"], r0["commit"])
-    assert all(h["doc_id"] != dead for h in reader.search("def"))
+    assert all(h["doc_id"] != dead for h in reader.search("def").to_pylist())
     import pytest as _pt
 
     with _pt.raises(KeyError):
