@@ -94,17 +94,16 @@ def _bus4_probe() -> float:
     return round(sum(vals), 2)
 
 
-def _probe_fields() -> dict:
-    """bus_gbps (single-stream) + bus4_gbps (4-proc aggregate) + an
-    explicit degraded-episode flag: BASELINE.md's bands were recorded
-    at single-stream probes 4.3-9.7 GB/s with multi-stream aggregate
-    ~6-10; a run far below either is measuring the VM's ambient
-    collapse (observed 0.03 single / 0.6 aggregate), not the code,
-    and bandwidth-bound lines (warm_build, fuzzy, build throughput)
-    scale with the probes."""
-    p = _bus_probe()
-    p4 = _bus4_probe()
-    out = {"bus_gbps": p, "bus4_gbps": p4}
+def _degraded_fields(
+    p: float, p4: float, stage_probes: dict | None = None
+) -> dict:
+    """Pure degraded-episode classification (unit-testable without
+    running probes). BENCH_r04's blind spot: stage probes read
+    0.05-0.08 GB/s through build->warm->bm25 yet the run self-reported
+    healthy because only the END-of-run probes were checked and the
+    episode lifted before run end. A stage probe below threshold now
+    trips the flag too, and the note names the tripping stage(s)."""
+    out: dict = {"bus_gbps": p, "bus4_gbps": p4}
     tripped = []
     if p < 2.5:
         tripped.append(
@@ -112,6 +111,9 @@ def _probe_fields() -> dict:
         )
     if p4 < 3.0:
         tripped.append(f"4-proc aggregate {p4} GB/s < 3.0 (band ~6+)")
+    for stage, v in (stage_probes or {}).items():
+        if v < 2.5:
+            tripped.append(f"stage probe {stage} {v} GB/s < 2.5")
     if tripped:
         out["degraded_episode"] = True
         out["probe_note"] = (
@@ -120,6 +122,83 @@ def _probe_fields() -> dict:
             "(see BASELINE.md measurement protocol)"
         )
     return out
+
+
+def _probe_fields(stage_probes: dict | None = None) -> dict:
+    """bus_gbps (single-stream) + bus4_gbps (4-proc aggregate) + an
+    explicit degraded-episode flag: BASELINE.md's bands were recorded
+    at single-stream probes 4.3-9.7 GB/s with multi-stream aggregate
+    ~6-10; a run far below either — at run end OR at any recorded
+    stage-adjacent probe — is measuring the VM's ambient collapse
+    (observed 0.03 single / 0.6 aggregate), not the code, and
+    bandwidth-bound lines (warm_build, fuzzy, build throughput) scale
+    with the probes."""
+    return _degraded_fields(_bus_probe(), _bus4_probe(), stage_probes)
+
+
+def _parse_warm_prof(path: str | None) -> tuple[dict, dict]:
+    """Aggregate the $MICROFTS_WARM_PROF JSONL records into a
+    (warm_build_phases, query_warmup_phases) pair so the bench artifact
+    makes the warm_build bound AUDITABLE: the r4 driver record (162 s
+    vs the claimed 42-97 s bound) could not show which phase blew
+    through. Per-dir decode/write/vec are CPU-seconds summed across
+    the parallel emit pool; setup/units/finalize are driver wall."""
+    warm: dict = {}
+    prewarm: dict = {}
+    dirs: dict[str, dict] = {}
+    if not path or not os.path.exists(path):
+        return warm, prewarm
+    with open(path) as f:
+        for line in f:
+            try:
+                r = json.loads(line)
+            except ValueError:
+                continue
+            d = r.get("dir")
+            if d == "_driver":
+                warm.update(
+                    setup_s=r.get("setup_s"),
+                    units_s=r.get("units_s"),
+                    finalize_s=r.get("finalize_s"),
+                )
+            elif d == "_derive":
+                warm["derive_s"] = round(
+                    r.get("park_s", 0) + r.get("derive_s", 0), 3
+                )
+            elif d == "_prewarm":
+                prewarm = {
+                    k: r[k]
+                    for k in (
+                        "enum_s", "topup_s", "vec_s", "total_s",
+                        "n_topup", "n_vecs",
+                    )
+                    if k in r
+                }
+            elif d is not None:
+                dirs.setdefault(d, {}).update(r)
+    if dirs:
+        dec = [v.get("decode_s", 0.0) for v in dirs.values()]
+        wrt = [
+            v.get("concat_s", 0.0) + v.get("save_s", 0.0) + v.get("put_s", 0.0)
+            for v in dirs.values()
+        ]
+        vec = [v.get("vec_s", 0.0) for v in dirs.values()]
+        warm.update(
+            n_dirs=len(dirs),
+            emit_decode_cpu_s=round(sum(dec), 3),
+            emit_write_cpu_s=round(sum(wrt), 3),
+            emit_vec_cpu_s=round(sum(vec), 3),
+            emit_max_dir_s=round(
+                max(a + b + c for a, b, c in zip(dec, wrt, vec)), 3
+            ),
+            terms_deferred=int(
+                sum(v.get("terms_deferred", 0) for v in dirs.values())
+            ),
+        )
+        vb = os.environ.get("MICROFTS_VEC_BUDGET_SECONDS")
+        if vb is not None:
+            warm["vec_budget_s"] = float(vb)
+    return warm, prewarm
 
 
 def _init_ray():
@@ -220,6 +299,16 @@ def run_suite() -> dict:
     ray = _init_ray()
     import importlib.util
 
+    # per-run warm-emission profile (set in __main__ BEFORE ray.init so
+    # emit workers inherit it); truncated here so each suite run's
+    # phases aggregate only its own records
+    prof = os.environ.get("MICROFTS_WARM_PROF")
+    if prof:
+        try:
+            open(prof, "w").close()
+        except OSError:
+            prof = None
+
     queries: dict[str, float] = {}
 
     # plain build: the round-comparable throughput metrics —
@@ -265,6 +354,9 @@ def run_suite() -> dict:
     t0 = time.perf_counter()
     reader.prewarm()  # serving-process load phase (mmap of warm shards)
     queries["query_warmup"] = round(time.perf_counter() - t0, 3)
+    # phase split (r4 verdict #4): make the warm_build/query_warmup
+    # bounds auditable per run — which phase blew a budget, if any
+    warm_phases, prewarm_phases = _parse_warm_prof(prof)
     lat = []
     t0 = time.perf_counter()
     for q in BM25_QUERIES:
@@ -337,7 +429,9 @@ def run_suite() -> dict:
         "bm25_p50_steady_ms": round(bm25_p50_steady_ms, 2),
         "bench_corpus_files": BENCH_FILES,
         "stage_probes_gbps": stage_probes,
-        **_probe_fields(),
+        "warm_build_phases": warm_phases,
+        "query_warmup_phases": prewarm_phases,
+        **_probe_fields(stage_probes),
     }
 
 
@@ -432,13 +526,44 @@ def run_scaling() -> dict:
     }
 
 
+def run_suite_n(n_runs: int) -> dict:
+    """N consecutive full-suite runs in one process, ONE JSON line:
+    headline = the min-total run (the sample least polluted by an
+    ambient collapse episode — each run carries its own probes so the
+    choice is auditable), with every run's full record under "runs".
+    r4 verdict #8: one driver artifact per round made episode luck
+    decide the headline; two recorded runs bound it."""
+    runs = [run_suite() for _ in range(max(1, n_runs))]
+    best = min(runs, key=lambda r: r["value"])
+    out = dict(best)
+    if len(runs) > 1:
+        out["runs"] = runs
+        out["value_runs"] = [r["value"] for r in runs]
+        out["headline_policy"] = (
+            f"min-total of {len(runs)} full-suite runs "
+            "(per-run probes + phases under 'runs')"
+        )
+    return out
+
+
 if __name__ == "__main__":
+    # the warm-emission profile sink must be in the env BEFORE
+    # ray.init so emit workers inherit it (workers never see late
+    # driver env changes — CLAUDE.md)
+    os.makedirs("/tmp/microfts_bench", exist_ok=True)
+    os.environ.setdefault(
+        "MICROFTS_WARM_PROF",
+        f"/tmp/microfts_bench/warmprof_{os.getpid()}.jsonl",
+    )
     if "--scaling" in sys.argv:
         out = run_scaling()
     elif "--build-only" in sys.argv:
         out = run_build_only()
     else:
-        out = run_suite()
+        n_runs = int(os.environ.get("BENCH_RUNS", "2"))
+        if "--runs" in sys.argv:
+            n_runs = int(sys.argv[sys.argv.index("--runs") + 1])
+        out = run_suite_n(n_runs)
     print(json.dumps(out))
     import ray
 
