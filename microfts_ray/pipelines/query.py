@@ -1222,6 +1222,11 @@ class IndexReader:
             from microfts_ray.pipelines.query import IndexReader as IR
 
             r = IR(index_dir)
+            if shared_ref is None:
+                # no parked tuple (cross-session restart / owner gone):
+                # the worker derives its own dense/dl/rank maps — in
+                # its own process, at its own ambient bandwidth
+                return r.warm_terms_bulk(terms)
             dense_val, dl_val, maps_val = _ray.get(shared_ref)
             r._dense = dense_val
             if dl_val is not None:
@@ -1250,36 +1255,48 @@ class IndexReader:
         return warmed
 
     def _ensure_terms_warm(self, infos: list[tuple[int, int]]) -> None:
-        """Pre-decode a query's MISSING hot terms in parallel Ray
-        tasks when one process is bandwidth-starved but the host
-        isn't: this VM's dominant degraded episode gives a single
-        process 0.05-0.5 GB/s while four concurrent processes measure
-        ~4 GB/s each (run-21: first BM25 pass 92 s, all of it serial
-        per-query row-group decodes, while the 4-proc probe read
-        15.6 GB/s). No timeout — the query needs these postings
-        either way, and the parallel decode is strictly faster than
-        the serial inline fallback whenever the gate (collapsed fresh
-        single-stream probe) admitted it. No-op once warm, at healthy
-        ambient, without Ray, or without the parked shared tuple."""
+        """Pre-decode a query's MISSING terms in parallel Ray tasks
+        when one process is bandwidth-starved but the host isn't: this
+        VM's dominant degraded episode gives a single process 0.05-0.5
+        GB/s while four concurrent processes measure ~4 GB/s each
+        (run-21: first BM25 pass 92 s, all of it serial per-query
+        row-group decodes, while the 4-proc probe read 15.6 GB/s). No
+        timeout — the query needs these postings either way, and the
+        parallel decode is strictly faster than the serial inline
+        fallback whenever the gate (collapsed fresh single-stream
+        probe) admitted it. No-op once warm, at healthy ambient, or
+        without Ray.
+
+        ALL missing terms qualify, and even a single one fans out: a
+        lazy decode costs a full shard row-group read+decompress
+        REGARDLESS of the term's size (run-14: 29 s for ONE
+        ~10k-entry term inside a collapse), the emission/prewarm only
+        cover >= min_entries terms so first-touch queries miss exactly
+        the rarer grams, and one remote task is a separate process
+        with its own bandwidth inside the per-process episode — the
+        r4 driver record's 96 s first pass was this serial tail."""
         if self._dense_space() is None:
             return
-        missing = [
-            (g, n)
-            for g, n in infos
-            if g not in self._sorted_kc and n >= 50_000
-        ]
-        if len(missing) < 2:
-            return  # one decode gains nothing from a fan-out
+        missing = [g for g, n in infos if n > 0 and g not in self._sorted_kc]
+        if not missing:
+            return
+        import os as _os
+
         import ray as _ray
 
         if not _ray.is_initialized():
             return
         if _cached_gbps(ttl=5.0) >= 1.5:
             return  # healthy single stream: inline decode is cheap
+        # without the parked shared tuple the workers self-build their
+        # maps — in their own processes, with their own bandwidth
+        # (driver-side rebuild + re-put was the ~20 s single-process
+        # tax the park avoids; worker-side it runs at worker ambient)
         shared_ref = self._parked_shared_ref()
-        if shared_ref is None:
-            return
-        self._fan_out_warm([[g] for g, _ in missing], shared_ref)
+        per_host = int(_os.environ.get("MICROFTS_WARM_TASKS", "6"))
+        n_tasks = min(per_host, len(missing))
+        chunks = [sorted(missing)[i::n_tasks] for i in range(n_tasks)]
+        self._fan_out_warm(chunks, shared_ref)
 
     def _prewarm_topup(
         self,

@@ -1370,3 +1370,73 @@ def test_prewarm_topup_bulk_warms_deferred_terms(
     for t, (k, c, n) in got.items():
         assert np.array_equal(np.asarray(k), np.asarray(full_ref[t][0]))
     assert set(got) | set(deferred) >= set(full_ref) & set(evicted)
+
+
+def test_query_time_fanout_warms_all_missing_terms(
+    corpus_dir, tmp_path_factory, oracle, monkeypatch
+):
+    """First-touch queries inside a (simulated) single-process
+    bandwidth collapse fan their missing term decodes out to Ray
+    tasks — ALL missing terms (a lazy decode costs a full row-group
+    read regardless of term size), even a SINGLE one (the remote
+    worker has its own bandwidth inside the per-process episode),
+    and with no parked shared tuple (workers self-derive maps).
+    Results stay bit-identical to the oracle."""
+    import glob
+
+    import microfts_ray.pipelines.query as qmod
+    from microfts_ray.functions.grams import gram_set
+    from microfts_ray.pipelines.merge import merge_index
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("qfan"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    merge_index(idx, n_shards=4)
+
+    # simulate the collapse gate + a session with no parked tuple
+    monkeypatch.setattr(qmod, "_cached_gbps", lambda ttl=20.0: 0.2)
+    monkeypatch.setattr(
+        IndexReader, "_parked_shared_ref", lambda self: None
+    )
+    fanned: list[tuple[int, int]] = []
+    orig = IndexReader._fan_out_warm
+
+    def spy(self, chunks, shared_ref, timeout=None):
+        n = orig(self, chunks, shared_ref, timeout)
+        fanned.append((sum(len(c) for c in chunks), n))
+        return n
+
+    monkeypatch.setattr(IndexReader, "_fan_out_warm", spy)
+
+    r = IndexReader(idx)
+    assert r._dense_space() is not None
+    for q in ["import mod_1", "Handler7"]:
+        grams = [g for g in sorted(gram_set(q)) if r.chunk_df(g) > 0]
+        missing = [g for g in grams if g not in r._sorted_kc]
+        assert missing, q  # the test must exercise the cold path
+        got = r.bm25_topk(q, k=10)
+        req, warmed = fanned[-1]
+        assert req == len(missing) and warmed == len(missing), q
+        assert all(g in r._sorted_kc for g in grams), q
+        want = oracle.bm25_topk(q, k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ], q
+    # a SINGLE missing term also fans out (run-14: one lazy decode is
+    # a whole row-group read — 29 s inside a collapse): evict one gram
+    # of a warm query and re-run it
+    g_ev = [g for g in sorted(gram_set("import mod_1")) if g in r._sorted_kc][0]
+    del r._sorted_kc[g_ev]
+    r._term_len_cache.pop(g_ev, None)
+    n_calls = len(fanned)
+    r.bm25_topk("import mod_1", k=10)
+    assert len(fanned) == n_calls + 1 and fanned[-1] == (1, 1)
+    assert g_ev in r._sorted_kc
+    # warm entries are bit-identical to the inline path's
+    t0 = sorted(r._sorted_kc)[0]
+    k_w, c_w = r._sorted_kc.pop(t0)
+    r._term_len_cache.pop(t0, None)
+    sk = r._sorted_keys(t0)
+    assert np.array_equal(np.asarray(sk[0]), np.asarray(k_w))
+    assert np.array_equal(np.asarray(sk[1]), np.asarray(c_w))
