@@ -1109,6 +1109,23 @@ def merge_index(
             # REF so the fallback pass doesn't put a second copy
             shared=warm_ctx[0] if warm_ctx is not None else warm_shared_vals,
         )
+        # eagerly park the CORPUS source shards too (search/fuzzy
+        # verification re-reads them every query; this box's reclaimer
+        # evicts them within seconds of the build's read): the lazy
+        # first-touch park races a one-shot scan — the r4 bench's
+        # single search_and read the reclaimed disk and the park paid
+        # off never (5.15 s vs the 1.15 s band). Fire-and-forget into
+        # the single-threaded store's queue, budget-refused when over;
+        # _source_parquet additionally BLOCKS a cache-missing scan on
+        # its own park, so either way the disk sees one sequential
+        # reader per file.
+        park_store = _warmstore()
+        if park_store is not None:
+            for p in manifest.get("inputs", []):
+                try:
+                    park_store.park_path.remote(os.path.abspath(p))
+                except Exception:
+                    break
     if emit_warm:
         from .query import _warm_prof as _wpf
 

@@ -3828,12 +3828,25 @@ def _source_parquet(path: str, max_park: int = 64 << 20):
                             else ref
                         )
                 elif size <= max_park:
-                    # miss: fire-and-forget — the STORE reads + parks
-                    # (one sequential reader); THIS call proceeds from
-                    # disk, the next one hits plasma. Workers reading
-                    # + parking the same files themselves stormed the
-                    # disk (measured 5x search_and regression).
-                    store.park_path.remote(apath, max_park)
+                    # miss: the STORE reads + parks (ONE sequential
+                    # reader — workers reading + parking the same
+                    # files themselves stormed the disk, a measured
+                    # 5x search_and regression) and this call BLOCKS
+                    # on it: the old fire-and-forget raced a one-shot
+                    # scan, which then read the reclaimed disk itself
+                    # and the park paid off never (r4 bench: the
+                    # single search_and at 4.5x band). Blocking costs
+                    # at most the same sequential read the fallback
+                    # would do, and every later scan reads zero-copy.
+                    if _ray.get(store.park_path.remote(apath, max_park)):
+                        ent = _ray.get(store.file_refs.remote([apath]))[0]
+                        if ent is not None and ent[1] == size:
+                            ref = ent[0]
+                            buf = (
+                                _ray.get(ref)
+                                if isinstance(ref, _ray.ObjectRef)
+                                else ref
+                            )
             except Exception:
                 buf = False
         # cache a hit permanently; re-check the store next call on a
