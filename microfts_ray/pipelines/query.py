@@ -3723,16 +3723,34 @@ class _WarmStoreImpl:
 
 
 _WARMSTORE_NAME = "microfts_warmstore"
-# per-process handle cache, keyed by job: a non-detached named actor
-# is REFCOUNTED — if no live handle remains anywhere it is killed, so
-# the creating process (normally the driver) must pin one here
-_WARMSTORE_CACHE: dict = {"job": None, "handle": None}
+# per-process handle cache, keyed by (job, node): a non-detached named
+# actor is REFCOUNTED — if no live handle remains anywhere it is
+# killed, so the creating process (normally the driver) must pin one
+# here
+_WARMSTORE_CACHE: dict = {"job": None, "node": None, "handle": None}
+
+
+def _warmstore_name(_ray) -> tuple[str, str | None]:
+    """(node-scoped store name, node_id). ONE STORE PER NODE: a single
+    cluster-wide actor would make one node pay the network copy for
+    every parked byte cluster-wide and a cross-node RPC per reader
+    (r4 verdict #7) — instead each node's workers get-or-create their
+    own store (plasma is per-node shared memory anyway, so a remote
+    store's refs were never zero-copy). Single-node behavior is
+    unchanged: every process resolves the same name. Readers on a node
+    whose store lacks an entry fall back exactly as before (npy mmap /
+    storage / decode)."""
+    try:
+        nid = _ray.get_runtime_context().get_node_id()
+    except Exception:
+        return _WARMSTORE_NAME, None
+    return f"{_WARMSTORE_NAME}_{nid[:12]}", nid
 
 
 def _warmstore(create: bool = False):
-    """Handle to the named warm store actor (None when ray is down or
-    MICROFTS_WARMSTORE=0). Writers pass create=True (get-or-create);
-    readers take the actor only if some writer made it."""
+    """Handle to THIS NODE's warm store actor (None when ray is down
+    or MICROFTS_WARMSTORE=0). Writers pass create=True (get-or-create,
+    node-affine); readers take the actor only if some writer made it."""
     import os
 
     try:
@@ -3748,23 +3766,38 @@ def _warmstore(create: bool = False):
         job = _ray.get_runtime_context().get_job_id()
     except Exception:
         return None
+    name, nid = _warmstore_name(_ray)
     if (
         _WARMSTORE_CACHE["handle"] is not None
         and _WARMSTORE_CACHE["job"] == job
+        and _WARMSTORE_CACHE["node"] == nid
     ):
         return _WARMSTORE_CACHE["handle"]
     try:
         if create:
+            opts: dict = {"name": name, "get_if_exists": True}
+            if nid is not None:
+                # pin the store to the caller's node: parked bytes
+                # must live in THIS node's plasma to be zero-copy for
+                # its readers (soft=True: fall back to any node rather
+                # than fail if this one can't host it)
+                from ray.util.scheduling_strategies import (
+                    NodeAffinitySchedulingStrategy,
+                )
+
+                opts["scheduling_strategy"] = NodeAffinitySchedulingStrategy(
+                    node_id=nid, soft=True
+                )
             h = (
                 _ray.remote(num_cpus=0)(_WarmStoreImpl)
-                .options(name=_WARMSTORE_NAME, get_if_exists=True)
+                .options(**opts)
                 .remote()
             )
         else:
-            h = _ray.get_actor(_WARMSTORE_NAME)
+            h = _ray.get_actor(name)
     except Exception:
         return None
-    _WARMSTORE_CACHE.update(job=job, handle=h)
+    _WARMSTORE_CACHE.update(job=job, node=nid, handle=h)
     return h
 
 

@@ -1440,3 +1440,44 @@ def test_query_time_fanout_warms_all_missing_terms(
     sk = r._sorted_keys(t0)
     assert np.array_equal(np.asarray(sk[0]), np.asarray(k_w))
     assert np.array_equal(np.asarray(sk[1]), np.asarray(c_w))
+
+
+def test_warmstore_is_per_node(monkeypatch):
+    """ONE file/warm store PER NODE (r4 verdict #7: a single
+    cluster-wide actor funnels every parked byte through one node and
+    adds a cross-node RPC per reader). With mocked node identities:
+    different nodes get-or-create DIFFERENT named actors, a node's
+    store misses entries parked on another node (readers fall back to
+    storage/decode exactly as on a plasma miss), and repeated calls on
+    one node reuse the cached handle. Same pattern as
+    test_emit_pool_cap_scales_with_nodes."""
+    import ray as _ray
+
+    import microfts_ray.pipelines.query as qmod
+
+    def fake_name(nid):
+        full = (nid * 56)[:56]  # a plausible 28-byte-hex node id
+        return lambda _r: (f"{qmod._WARMSTORE_NAME}_test{nid}", full)
+
+    saved = dict(qmod._WARMSTORE_CACHE)
+    try:
+        # node A parks a file
+        monkeypatch.setattr(qmod, "_warmstore_name", fake_name("a"))
+        qmod._WARMSTORE_CACHE.update(job=None, node=None, handle=None)
+        sa = qmod._warmstore(create=True)
+        assert sa is not None
+        data = np.frombuffer(b"per-node store bytes", dtype=np.uint8)
+        assert _ray.get(sa.put_file_bytes.remote("/tmp/pn_probe", data))
+        # node B: a DIFFERENT actor that does not see node A's entry
+        monkeypatch.setattr(qmod, "_warmstore_name", fake_name("b"))
+        qmod._WARMSTORE_CACHE.update(job=None, node=None, handle=None)
+        sb = qmod._warmstore(create=True)
+        assert sb is not None and sb._actor_id != sa._actor_id
+        assert _ray.get(sb.file_refs.remote(["/tmp/pn_probe"])) == [None]
+        assert _ray.get(sa.file_refs.remote(["/tmp/pn_probe"]))[0] is not None
+        # handle cache: same node resolves the SAME handle, no re-create
+        assert qmod._warmstore() is sb
+        _ray.kill(sa)
+        _ray.kill(sb)
+    finally:
+        qmod._WARMSTORE_CACHE.update(**saved)
