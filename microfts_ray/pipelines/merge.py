@@ -740,7 +740,7 @@ def merge_index(
                         wwd(
                             _os_path_join(warm_ctx[1], dirname), {},
                             term, term + 1, None, warm_ctx[2],
-                            files=warm_ctx[4],
+                            files=warm_ctx[4], compact=True,
                         )
                 # rows None (checkpoint resume): the file-reading
                 # fallback emit fills the dir
@@ -982,6 +982,7 @@ def merge_index(
                                     self.mps,
                                     deadline=dl_abs,
                                     deferred_out=dropped,
+                                    compact=True,
                                 )
                             )
                             n_deferred += len(dropped)
@@ -999,6 +1000,8 @@ def merge_index(
                             dd, out, lo, hi, None, wmin_p,
                             dense_k=self.dense_k, vec_min=vec_min_p,
                             files=files_p, vec_seconds=vec_sec_p,
+                            compact=True,
+                            bm25_stats=(self.r.n_chunks, self.r.avgdl),
                         )
                         names.append(str(dn))
                 return _pa2.table(

@@ -81,6 +81,63 @@ FUZZY_SCHEMA = pa.schema(
 _WARM_SLICE_ENTRIES = 131_072
 
 
+def _idf_val(n_chunks: int, df: int) -> float:
+    """BM25 idf — module-level so the compact warm cache's load-time
+    contrib recompute and IndexReader._idf are literally the same
+    code (bit-identity is a hard contract, oracle.py:44-52)."""
+    return math.log(1.0 + (n_chunks - df + 0.5) / (df + 0.5))
+
+
+def _contrib_arr(
+    w: float, tf: np.ndarray, dl: np.ndarray, avgdl: float
+) -> np.ndarray:
+    # in-place pipeline, BIT-IDENTICAL to the reference expression
+    #   norm = K1 * (1 - B + B * (dl / avgdl))
+    #   w * (tf * (K1 + 1)) / (tf + norm)
+    # (every op keeps the same operands/order; IEEE + is
+    # commutative, so norm + tf == tf + norm bitwise) — the naive
+    # form allocated five 8B temporaries per posting, a measured
+    # warmup tax at 10^8 postings. Elementwise over any integer
+    # dtype: uint16 and uint64 inputs convert to the same f64 values,
+    # which is what makes the compact (tf, dl) warm layout's
+    # load-time recompute exact.
+    tf = tf.astype(np.float64)
+    norm = dl.astype(np.float64)
+    if avgdl:
+        norm /= avgdl
+    else:
+        norm *= 0.0
+    norm *= B
+    norm += 1 - B
+    norm *= K1
+    norm += tf  # == tf + norm
+    num = tf
+    num *= K1 + 1
+    num *= w  # == w * (tf * (K1+1)): float mult is commutative
+    num /= norm
+    return num
+
+
+def _hydrate_contribs(
+    meta: dict, tf: np.ndarray, dl: np.ndarray, n_chunks: int, avgdl: float
+) -> np.ndarray:
+    """Exact f64 contribs for a COMPACT (fmt 2) warm dir: per-term
+    idf from the offset directory (df == the term's posting count),
+    then the shared elementwise kernel over the term's slice. Output
+    is bit-identical to the fmt-1 contribs the emitter used to park,
+    because _warm_finalize computed them with the very same
+    (_idf_val, _contrib_arr) on the same integer tf/dl values —
+    elementwise, so pre- vs post-sort application cannot differ."""
+    offs = np.asarray(meta["offsets"], dtype=np.int64)
+    out = np.empty(int(offs[-1]) if offs.size else 0, dtype=np.float64)
+    for i in range(offs.size - 1):
+        s, e = int(offs[i]), int(offs[i + 1])
+        out[s:e] = _contrib_arr(
+            _idf_val(n_chunks, e - s), tf[s:e], dl[s:e], avgdl
+        )
+    return out
+
+
 class _DocMeta:
     """Doc metadata as doc_id-sorted parallel arrays: numpy ids for
     searchsorted lookup, Arrow string columns (zero Python objects
@@ -667,12 +724,21 @@ class IndexReader:
         sha = self._manifest_sha()
         store = _warmstore()
 
+        def disjoint(meta: dict) -> bool:
+            return (
+                term_range is not None
+                and "lo" in meta
+                and (
+                    meta["hi"] <= term_range[0]
+                    or meta["lo"] >= term_range[1]
+                )
+            )
+
         def fill(meta: dict, keys, contribs) -> bool:
             if meta.get("manifest_sha") != sha:
                 return False  # stale cache from an older generation
-            if term_range is not None and "lo" in meta:
-                if meta["hi"] <= term_range[0] or meta["lo"] >= term_range[1]:
-                    return True  # disjoint shard: nothing to load
+            if disjoint(meta):
+                return True  # disjoint shard: nothing to load
             offs = np.array(meta["offsets"], dtype=np.int64)
             for i, t in enumerate(meta["terms"]):
                 t = int(t)
@@ -706,7 +772,16 @@ class IndexReader:
                 if ent is not None:
                     meta, kref, cref, vrefs = ent
                     if meta.get("manifest_sha") == sha:
-                        ok = fill(meta, deref(kref), deref(cref))
+                        if disjoint(meta):
+                            return True  # skip WITHOUT hydrating
+                        payload = deref(cref)
+                        if meta.get("fmt") == 2:
+                            contribs = self._hydrated_contribs(
+                                store, dd, meta, payload
+                            )
+                        else:
+                            contribs = payload
+                        ok = fill(meta, deref(kref), contribs)
                         if ok:
                             for t, vref in vrefs.items():
                                 if t in self._sorted_kc and t not in self._vec_cache:
@@ -723,10 +798,23 @@ class IndexReader:
                     meta = json.load(f)
                 if meta.get("manifest_sha") != sha:
                     return False
+                if disjoint(meta):
+                    return True  # skip WITHOUT hydrating
                 keys = np.load(os.path.join(dd, "keys.npy"), mmap_mode="r")
-                contribs = np.load(
-                    os.path.join(dd, "contribs.npy"), mmap_mode="r"
-                )
+                if meta.get("fmt") == 2:
+                    # restart fallback for the compact layout: mmap
+                    # the integer tf/dl and recompute exact contribs
+                    # PRIVATELY (no store to share through — the
+                    # plasma path above shares one copy per node)
+                    tf = np.load(os.path.join(dd, "tf.npy"), mmap_mode="r")
+                    dlv = np.load(os.path.join(dd, "dl.npy"), mmap_mode="r")
+                    contribs = _hydrate_contribs(
+                        meta, tf, dlv, self.n_chunks, self.avgdl
+                    )
+                else:
+                    contribs = np.load(
+                        os.path.join(dd, "contribs.npy"), mmap_mode="r"
+                    )
             except OSError:
                 return False  # cache dir swept by a newer generation
             return fill(meta, keys, contribs)
@@ -759,6 +847,39 @@ class IndexReader:
         if len(shard_dirs) != sh.get("n_shards"):
             return False
         return all(load_one(dd) for dd in shard_dirs)
+
+    def _hydrated_contribs(self, store, dd: str, meta: dict, payload):
+        """Shared exact-f64 contribs for a compact (fmt 2) warm dir:
+        the FIRST reader on a node recomputes them from the parked
+        integer (tf, dl) arrays and parks the result back into the
+        node's store; every later reader (the serving pool) maps that
+        one plasma copy zero-copy — the page sharing the f64 layout
+        got for free, at half the emitted/persisted bytes. Raced
+        hydrations are harmless: the store keeps the first ref, each
+        racer still returns a correct array, and values are
+        bit-identical by construction (_hydrate_contribs)."""
+        import ray as _ray
+
+        try:
+            href = _ray.get(store.get_hydrated.remote(dd))
+        except Exception:
+            href = None
+        if href is not None:
+            try:
+                return _ray.get(href[0])
+            except Exception:
+                pass  # owner of a stale ref died: recompute below
+        tf, dlv = payload
+        contribs = _hydrate_contribs(
+            meta, tf, dlv, self.n_chunks, self.avgdl
+        )
+        try:
+            ref = _ray.put(contribs, _owner=store)
+            _ray.get(store.put_hydrated.remote(dd, [ref]))
+            # swap the private array for the shared plasma view
+            return _ray.get(ref)
+        except Exception:
+            return contribs
 
     def _save_warmcache(self) -> None:
         import json
@@ -812,6 +933,7 @@ class IndexReader:
         self, terms, maps: tuple[dict, dict] | None = None,
         deadline: float | None = None,
         deferred_out: list | None = None,
+        compact: bool = False,
     ) -> dict[int, tuple[np.ndarray, np.ndarray, int]]:
         """Bulk warm-representation build: per source segment/shard,
         ONE full-table read + ONE vectorized decode_terms_table pass,
@@ -909,11 +1031,12 @@ class IndexReader:
                     deferred.add(int(t))
         if deferred_out is not None:
             deferred_out.extend(sorted(deferred))
-        return self._warm_finalize(parts)
+        return self._warm_finalize(parts, compact=compact)
 
     def warm_from_table(
         self, tbl, terms, maps, deadline: float | None = None,
         deferred_out: list | None = None,
+        compact: bool = False,
     ) -> dict:
         """Warm representation straight from an IN-MEMORY posting table
         (e.g. the merge shard task's blob rows, before/regardless of
@@ -949,7 +1072,7 @@ class IndexReader:
             tbl.select(cols), terms_arr, parts, gmaps,
             deadline=deadline, deferred_out=deferred_out,
         )
-        return self._warm_finalize(parts)
+        return self._warm_finalize(parts, compact=compact)
 
     def _warm_gmaps(self, maps: tuple[dict, dict]):
         """GLOBAL concatenated rank maps: rank -> dense key base and
@@ -1043,7 +1166,20 @@ class IndexReader:
             sub = sub_all.slice(s0, s1 - s0)
             self._warm_accumulate(sub, parts, gmaps)
 
-    def _warm_finalize(self, parts: dict) -> dict:
+    def _warm_finalize(self, parts: dict, compact: bool = False) -> dict:
+        """compact=False (the in-memory/serving shape): {t: (sorted
+        keys, exact f64 contribs, n)}. compact=True (the EMISSION
+        shape, fmt-2 warm dirs): {t: (sorted keys — int32 when the
+        dense space fits, tf, dl)} with NO contrib compute — contribs
+        are a pure elementwise function of (tf, dl, n, manifest
+        stats), so emission skips ~16 bytes/posting of f64
+        compute+gather+park and readers recompute exactly at load
+        (_hydrate_contribs)."""
+        if compact:
+            keyd = np.int64
+            dn = self._dense_space()
+            if dn is not None and int(dn[1][-1]) <= np.iinfo(np.int32).max:
+                keyd = np.int32
         out = {}
         for t, ps in parts.items():
             if len(ps) == 1:
@@ -1053,9 +1189,13 @@ class IndexReader:
                 tf = np.concatenate([p[1] for p in ps])
                 dl = np.concatenate([p[2] for p in ps])
             n = int(keys.size)
-            contrib = self._contrib(self._idf(n), tf, dl)
             order = np.argsort(keys, kind="stable")
-            out[t] = (keys[order], contrib[order], n)
+            if compact:
+                keys = keys.astype(keyd, copy=False)
+                out[t] = (keys[order], tf[order], dl[order])
+            else:
+                contrib = self._contrib(self._idf(n), tf, dl)
+                out[t] = (keys[order], contrib[order], n)
         return out
 
     def _warm_accumulate(self, sub, parts: dict, gmaps) -> None:
@@ -2473,31 +2613,10 @@ class IndexReader:
 
     # -- BM25 --------------------------------------------------------------
     def _idf(self, df: int) -> float:
-        return math.log(1.0 + (self.n_chunks - df + 0.5) / (df + 0.5))
+        return _idf_val(self.n_chunks, df)
 
     def _contrib(self, w: float, tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
-        # in-place pipeline, BIT-IDENTICAL to the reference expression
-        #   norm = K1 * (1 - B + B * (dl / avgdl))
-        #   w * (tf * (K1 + 1)) / (tf + norm)
-        # (every op keeps the same operands/order; IEEE + is
-        # commutative, so norm + tf == tf + norm bitwise) — the naive
-        # form allocated five 8B temporaries per posting, a measured
-        # warmup tax at 10^8 postings
-        tf = tf.astype(np.float64)
-        norm = dl.astype(np.float64)
-        if self.avgdl:
-            norm /= self.avgdl
-        else:
-            norm *= 0.0
-        norm *= B
-        norm += 1 - B
-        norm *= K1
-        norm += tf  # == tf + norm
-        num = tf
-        num *= K1 + 1
-        num *= w  # == w * (tf * (K1+1)): float mult is commutative
-        num /= norm
-        return num
+        return _contrib_arr(w, tf, dl, self.avgdl)
 
     def bm25_topk(
         self, query: str, k: int = 10, prune_threshold: int = 200_000
@@ -2648,9 +2767,14 @@ class IndexReader:
             if sk is None:
                 continue
             keys_s, contrib_s = sk
-            idx = np.searchsorted(keys_s, kc)
+            # warm (fmt 2) keys are int32: cast the SMALL needle to
+            # the haystack dtype — mixed-dtype searchsorted would cast
+            # the whole sorted array per call (O(n) per term per
+            # query). Values always fit: both are dense keys.
+            nk = kc if kc.dtype == keys_s.dtype else kc.astype(keys_s.dtype)
+            idx = np.searchsorted(keys_s, nk)
             idx = np.minimum(idx, keys_s.size - 1)
-            hit = keys_s[idx] == kc
+            hit = keys_s[idx] == nk
             score[hit] += contrib_s[idx[hit]]
         return score
 
@@ -2763,6 +2887,10 @@ class IndexReader:
         wrong chunk (numpy accepts negative fancy indices) — above
         INT32_MAX the original int64 keys are used as-is."""
         if int(self._dense[1][-1]) > np.iinfo(np.int32).max:
+            return sk[0]
+        if sk[0].dtype == np.int32:
+            # fmt-2 warm keys are already int32 (and plasma-shared):
+            # no private copy, no cache entry
             return sk[0]
         k32 = self._add32_cache.get(g)
         if k32 is None:
@@ -3258,8 +3386,11 @@ class ShardQueryActor:
                 out[t] = np.zeros(kc.size, np.float64)
                 continue
             keys_s, contrib_s = sk
-            idx = np.minimum(np.searchsorted(keys_s, kc), keys_s.size - 1)
-            hit = keys_s[idx] == kc
+            # needle-side cast (see _rescore_exact_dense): int32 warm
+            # keys must not force a per-call haystack conversion
+            nk = kc if kc.dtype == keys_s.dtype else kc.astype(keys_s.dtype)
+            idx = np.minimum(np.searchsorted(keys_s, nk), keys_s.size - 1)
+            hit = keys_s[idx] == nk
             c = np.zeros(kc.size, np.float64)
             c[hit] = contrib_s[idx[hit]]
             out[t] = c
@@ -3606,6 +3737,23 @@ class _WarmStoreImpl:
     def get_dir(self, dirpath: str):
         return self._dirs.get(dirpath)
 
+    def put_hydrated(self, dirpath: str, ref_w) -> bool:
+        """Memoize one node-shared exact-f64 contribs object for a
+        compact (fmt 2) warm dir — computed by the FIRST loading
+        reader (ray.put(_owner=store), so it outlives that reader).
+        First put wins: racers' arrays stay valid for the racer
+        itself and are collected with its last reference."""
+        hyd = getattr(self, "_hydr", None)
+        if hyd is None:
+            hyd = self._hydr = {}
+        if dirpath not in hyd:
+            hyd[dirpath] = ref_w[0]
+        return True
+
+    def get_hydrated(self, dirpath: str):
+        ref = getattr(self, "_hydr", {}).get(dirpath)
+        return [ref] if ref is not None else None
+
     def put_shared(self, sha: str, ref_w) -> bool:
         """Park the merge's warm SHARED TUPLE ref (dense space,
         chunk-dl space, rank maps) for the generation: prewarm's
@@ -3694,8 +3842,19 @@ class _WarmStoreImpl:
                 continue
             try:
                 tag = _uuid.uuid4().hex[:8]
-                for name, ref in (("keys", kref), ("contribs", cref)):
-                    arr = _ray.get(ref)
+                if meta.get("fmt") == 2:
+                    tf_dl = _ray.get(cref)
+                    arrs = (
+                        ("keys", _ray.get(kref)),
+                        ("tf", tf_dl[0]),
+                        ("dl", tf_dl[1]),
+                    )
+                else:
+                    arrs = (
+                        ("keys", _ray.get(kref)),
+                        ("contribs", _ray.get(cref)),
+                    )
+                for name, arr in arrs:
                     tmp = os.path.join(dd, f".{name}.{tag}.tmp.npy")
                     _np.save(tmp, _np.asarray(arr))
                     os.replace(tmp, os.path.join(dd, f"{name}.npy"))
@@ -3719,6 +3878,10 @@ class _WarmStoreImpl:
         gone = [k for k in self._dirs if k.startswith(prefix)]
         for k in gone:
             del self._dirs[k]
+        hyd = getattr(self, "_hydr", None)
+        if hyd is not None:
+            for k in [k for k in hyd if k.startswith(prefix)]:
+                del hyd[k]
         return len(gone)
 
 
@@ -3930,11 +4093,22 @@ def _write_warm_dir(
     vec_min: int | None = None,
     files: str | None = None,
     vec_seconds: float | None = None,
+    compact: bool = False,
+    bm25_stats: tuple[int, float] | None = None,
 ) -> int:
-    """Persist one warm dir: concatenated sorted keys + f64 contribs
-    with a per-term offset directory. sha=None marks a STAGED dir (the
-    final manifest hash isn't known yet); the merge driver stamps it
-    at finalize before moving the dir into warmcache/<sha>/."""
+    """Persist one warm dir with a per-term offset directory. Two
+    layouts: fmt 1 (legacy) = concatenated sorted keys (i64) + exact
+    f64 contribs; fmt 2 (`compact=True`, `out` from
+    _warm_finalize(compact=True)) = keys at the narrowest safe dtype
+    (int32 while the dense space fits) + integer tf/dl at their
+    narrowest per-dir dtype — 8 bytes/posting instead of 16, and the
+    emitter never computes/gathers/ships f64 contribs at all; readers
+    recompute them exactly at load (_hydrate_contribs, shared once
+    per node via the warm store). `bm25_stats=(n_chunks, avgdl)` is
+    required for the fmt-2 dense-vector pre-build (vectors need
+    contribs transiently). sha=None marks a STAGED dir (the final
+    manifest hash isn't known yet); the merge driver stamps it at
+    finalize before moving the dir into warmcache/<sha>/."""
     import json
     import os
     import time as _time
@@ -3945,16 +4119,50 @@ def _write_warm_dir(
     offs = [0]
     for t in terms:
         offs.append(offs[-1] + int(out[t][0].size))
-    keys = (
-        np.concatenate([out[t][0] for t in terms])
-        if terms
-        else np.empty(0, np.int64)
-    )
-    contribs = (
-        np.concatenate([out[t][1] for t in terms])
-        if terms
-        else np.empty(0, np.float64)
-    )
+    if compact:
+        total = int(offs[-1])
+        keyd = (
+            np.int32
+            if dense_k is not None and dense_k <= np.iinfo(np.int32).max
+            else np.int64
+        )
+        tmax = max((int(out[t][1].max()) for t in terms if out[t][1].size),
+                   default=0)
+        dmax = max((int(out[t][2].max()) for t in terms if out[t][2].size),
+                   default=0)
+
+        def _mind(m):
+            for cand in (np.uint16, np.uint32):
+                if m <= np.iinfo(cand).max:
+                    return cand
+            return np.uint64
+
+        # casting assignment per term: no full-width intermediate
+        # concat (the i64/u64 concat would cost 24B/posting of bus
+        # traffic before the downcast)
+        keys = np.empty(total, dtype=keyd)
+        tf = np.empty(total, dtype=_mind(tmax))
+        dl = np.empty(total, dtype=_mind(dmax))
+        for i, t in enumerate(terms):
+            s, e = offs[i], offs[i + 1]
+            keys[s:e] = out[t][0]
+            tf[s:e] = out[t][1]
+            dl[s:e] = out[t][2]
+        payload = (tf, dl)
+        file_arrs = (("keys", keys), ("tf", tf), ("dl", dl))
+    else:
+        keys = (
+            np.concatenate([out[t][0] for t in terms])
+            if terms
+            else np.empty(0, np.int64)
+        )
+        contribs = (
+            np.concatenate([out[t][1] for t in terms])
+            if terms
+            else np.empty(0, np.float64)
+        )
+        payload = contribs
+        file_arrs = (("keys", keys), ("contribs", contribs))
     t_concat = _time.perf_counter()
     os.makedirs(dd, exist_ok=True)
     tag = _uuid.uuid4().hex[:8]
@@ -3969,7 +4177,7 @@ def _write_warm_dir(
     # synchronous write; "skip" never writes them.
     files_mode = files if files is not None else _warm_files_mode()
     if files_mode == "inline" or store is None:
-        for name, arr in (("keys", keys), ("contribs", contribs)):
+        for name, arr in file_arrs:
             tmp = os.path.join(dd, f".{name}.{tag}.tmp.npy")
             np.save(tmp, arr)
             os.replace(tmp, os.path.join(dd, f"{name}.npy"))
@@ -3981,6 +4189,8 @@ def _write_warm_dir(
         "manifest_sha": sha,
         "min_entries": int(min_entries),
     }
+    if compact:
+        meta["fmt"] = 2
     tmp = os.path.join(dd, f".meta.{tag}.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
@@ -4033,9 +4243,11 @@ def _write_warm_dir(
                 degraded = True
             last_cost = 0.0
             for t in sorted(terms, key=lambda t: -out[t][0].size):
-                k, c = out[t][0], out[t][1]
+                k = out[t][0]
                 if k.size < vm:
                     break  # descending: nothing smaller is eligible
+                if compact and bm25_stats is None:
+                    break  # no stats: vectors build lazily
                 if not force and (
                     degraded
                     or (
@@ -4051,6 +4263,16 @@ def _write_warm_dir(
                     # overran the budget by 10+ s (runs 12-13 vec_s)
                     break  # remaining vectors go lazy
                 tb0 = _time.perf_counter()
+                if compact:
+                    # transient exact contribs for this hot term only
+                    # (same kernel the loader uses — the parked vector
+                    # is bit-identical to a fmt-1 emission's)
+                    c = _contrib_arr(
+                        _idf_val(bm25_stats[0], k.size),
+                        out[t][1], out[t][2], bm25_stats[1],
+                    )
+                else:
+                    c = out[t][1]
                 v = np.zeros(dense_k, dtype=np.float32)
                 v[k] = c
                 vecs[int(t)] = v
@@ -4062,7 +4284,9 @@ def _write_warm_dir(
             # TIME, so the store only records refs (put_dir_refs) —
             # the re-put path paid every byte twice
             kref = _ray.put(keys, _owner=store)
-            cref = _ray.put(contribs, _owner=store)
+            # fmt 2: the contrib slot holds the (tf, dl) tuple — half
+            # the bytes of the f64 contribs it replaces
+            cref = _ray.put(payload, _owner=store)
             vrefs = {
                 int(t): _ray.put(v, _owner=store) for t, v in vecs.items()
             }
@@ -4074,7 +4298,7 @@ def _write_warm_dir(
             try:
                 # ray build without _owner: the double-copy fallback
                 _ray.get(
-                    store.put_dir.remote(dd, meta, keys, contribs, vecs)
+                    store.put_dir.remote(dd, meta, keys, payload, vecs)
                 )
                 put_path = "reput"
             except Exception:
@@ -4140,10 +4364,11 @@ def emit_warm_shard(
             if t not in hot:
                 totals[t] = totals.get(t, 0) + int(n)
     todo = sorted(t for t, n in totals.items() if n >= min_entries)
-    out = r.warm_terms_bulk(todo, maps=maps) if todo else {}
+    out = r.warm_terms_bulk(todo, maps=maps, compact=True) if todo else {}
     return _write_warm_dir(
         dd, out, lo, hi, sha, min_entries, dense_k=int(dense[1][-1]),
         vec_min=vec_min, files=files, vec_seconds=vec_seconds,
+        compact=True, bm25_stats=(r.n_chunks, r.avgdl),
     )
 
 
@@ -4173,10 +4398,11 @@ def emit_warm_hot(
     r._dense = dense
     if dl_space is not None:
         r._chunk_dl_cache = dl_space
-    out = r.warm_terms_bulk([int(term)], maps=maps)
+    out = r.warm_terms_bulk([int(term)], maps=maps, compact=True)
     out = {t: v for t, v in out.items() if v[0].size >= min_entries}
     return _write_warm_dir(
         dd, out, int(term), int(term) + 1, sha, min_entries,
+        compact=True, bm25_stats=(r.n_chunks, r.avgdl),
         dense_k=int(dense[1][-1]), vec_min=vec_min, files=files,
         vec_seconds=vec_seconds,
     )

@@ -492,7 +492,14 @@ def test_merge_inline_warm_emission_bit_identical(
     n = emit_warm_cache(idx, min_entries=50)
     assert n == marker["n_terms"]
     for name in marker["dirs"]:
-        for fn in ("keys.npy", "contribs.npy"):
+        with open(os.path.join(gen_dir, name, "meta.json")) as f:
+            m = json.load(f)
+        fns = (
+            ("keys.npy", "tf.npy", "dl.npy")
+            if m.get("fmt") == 2
+            else ("keys.npy", "contribs.npy")
+        )
+        for fn in fns:
             with open(os.path.join(gen_dir.replace("warmcache", "warmcache_inline"), name, fn), "rb") as f:
                 a = f.read()
             with open(os.path.join(gen_dir, name, fn), "rb") as f:
@@ -602,6 +609,73 @@ def test_warm_terms_bulk_bit_identical(reader):
         assert n == sk[0].size
         k2, c2, _n2 = bulk2[t]
         assert np.array_equal(k, k2) and np.array_equal(c, c2)
+
+
+def test_warm_compact_hydration_bit_identical(reader):
+    """The COMPACT (fmt 2) warm shape stores (int32 keys, integer
+    tf/dl) and readers recompute exact f64 contribs at load: the
+    hydrated contribs must be float-BIT-identical to the fmt-1
+    contribs for every term, and the keys equal as integers."""
+    from microfts_ray.pipelines.query import _contrib_arr, _idf_val
+
+    r = IndexReader(reader.index_dir)
+    totals: dict[int, int] = {}
+    for seg in r.shards or r.segments:
+        for t, n in zip(seg.terms.tolist(), seg.ns.tolist()):
+            totals[t] = totals.get(t, 0) + int(n)
+    hot = sorted(t for t, n in totals.items() if n >= 50)
+    assert hot
+    exact = r.warm_terms_bulk(hot)
+    r2 = IndexReader(reader.index_dir)
+    comp = r2.warm_terms_bulk(hot, compact=True)
+    assert set(exact) == set(comp)
+    for t in hot:
+        if t not in exact:
+            continue
+        k, c, n = exact[t]
+        ck, tf, dl = comp[t]
+        assert ck.dtype == np.int32  # dense space fits at fixture scale
+        assert np.array_equal(k, ck.astype(np.int64))
+        hyd = _contrib_arr(_idf_val(r2.n_chunks, ck.size), tf, dl, r2.avgdl)
+        assert np.array_equal(c, hyd)  # float BIT identity
+        assert n == ck.size
+
+
+def test_write_warm_dir_compact_dtype_guards(tmp_path):
+    """Per-dir integer downcasts must widen when values overflow the
+    narrow type (a wrapped tf/dl would silently corrupt scores), and
+    keys stay int64 when the dense space exceeds int32."""
+    import json as _json
+
+    from microfts_ray.pipelines.query import _write_warm_dir, _hydrate_contribs, _contrib_arr, _idf_val
+
+    out = {
+        7: (
+            np.array([3, 5], np.int64),
+            np.array([70_000, 2], np.uint64),  # tf > uint16
+            np.array([9, 100_000], np.uint64),  # dl > uint16
+        )
+    }
+    dd = str(tmp_path / "d")
+    _write_warm_dir(dd, out, 0, 10, "shaX", 1, dense_k=100,
+                    files="inline", compact=True, bm25_stats=(1000, 12.0))
+    meta = _json.load(open(f"{dd}/meta.json"))
+    assert meta["fmt"] == 2
+    keys = np.load(f"{dd}/keys.npy")
+    tf = np.load(f"{dd}/tf.npy")
+    dl = np.load(f"{dd}/dl.npy")
+    assert keys.dtype == np.int32 and tf.dtype == np.uint32 and dl.dtype == np.uint32
+    assert tf.tolist() == [70_000, 2] and dl.tolist() == [9, 100_000]
+    hyd = _hydrate_contribs(meta, tf, dl, 1000, 12.0)
+    want = _contrib_arr(_idf_val(1000, 2), out[7][1], out[7][2], 12.0)
+    assert np.array_equal(hyd, want)
+    # dense space beyond int32: keys stay int64
+    big = {7: (np.array([2**31 + 5], np.int64), np.array([1], np.uint64),
+               np.array([4], np.uint64))}
+    dd2 = str(tmp_path / "d2")
+    _write_warm_dir(dd2, big, 0, 10, "shaX", 1, dense_k=2**31 + 10,
+                    files="inline", compact=True, bm25_stats=(1000, 12.0))
+    assert np.load(f"{dd2}/keys.npy").dtype == np.int64
 
 
 def test_validate_index(reader):
@@ -1103,7 +1177,12 @@ def test_warm_files_async_persist_and_restartability(
             meta = json.load(f)
         if not meta["terms"]:
             continue  # empty range: nothing to persist
-        for fn in ("keys.npy", "contribs.npy"):
+        fns = (
+            ("keys.npy", "tf.npy", "dl.npy")
+            if meta.get("fmt") == 2
+            else ("keys.npy", "contribs.npy")
+        )
+        for fn in fns:
             assert os.path.exists(os.path.join(gen_dir, name, fn)), (
                 f"{name}/{fn} missing after persist_files"
             )
