@@ -1192,7 +1192,16 @@ class IndexReader:
             order = np.argsort(keys, kind="stable")
             if compact:
                 keys = keys.astype(keyd, copy=False)
-                out[t] = (keys[order], tf[order], dl[order])
+                tfs, dls = tf[order], dl[order]
+                # shed the decode's u64 width now (the writer picks
+                # the final per-dir dtype): the gathered u64 copies
+                # would otherwise make the emit task's transient set
+                # 25% LARGER than the fmt-1 one it replaces
+                if tfs.size and int(tfs.max()) <= 0xFFFFFFFF:
+                    tfs = tfs.astype(np.uint32)
+                if dls.size and int(dls.max()) <= 0xFFFFFFFF:
+                    dls = dls.astype(np.uint32)
+                out[t] = (keys[order], tfs, dls)
             else:
                 contrib = self._contrib(self._idf(n), tf, dl)
                 out[t] = (keys[order], contrib[order], n)
