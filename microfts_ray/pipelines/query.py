@@ -840,13 +840,77 @@ class IndexReader:
             # marker-listed dirs (range shards + hot-term dirs): each
             # must exist and load; hot dirs carry lo=t, hi=t+1 so the
             # term_range pruning applies to them unchanged
-            return all(load_one(os.path.join(d, name)) for name in dirs)
+            paths = [os.path.join(d, name) for name in dirs]
+            self._prehydrate(store, paths, term_range)
+            return all(load_one(p) for p in paths)
         import glob as _glob
 
         shard_dirs = sorted(_glob.glob(os.path.join(d, "shard=*")))
         if len(shard_dirs) != sh.get("n_shards"):
             return False
+        self._prehydrate(store, shard_dirs, term_range)
         return all(load_one(dd) for dd in shard_dirs)
+
+    def _prehydrate(
+        self, store, dirpaths: list,
+        term_range: tuple[int, int] | None = None,
+    ) -> None:
+        """Fan out the fmt-2 contrib hydration for every warm dir this
+        load needs, each in its own Ray worker process: the first
+        loader of a generation otherwise hydrates N dirs serially
+        inline, and hydration is exactly the kind of single-process
+        compute+write phase this box's PER-PROCESS bandwidth episode
+        eats (third-wave finding, BASELINE.md). Tasks park their
+        result in the store (put_hydrated is first-wins), so
+        load_one's _hydrated_contribs finds them already shared; any
+        missing/failed dir just hydrates inline as before. Pool
+        actors after the first hit the memoized refs and skip all of
+        this (hydration_todo returns empty)."""
+        if store is None or len(dirpaths) < 2:
+            return
+        import ray as _ray
+
+        from .build import _pkg_root
+
+        pkg_root = _pkg_root()
+        n_chunks, avgdl = self.n_chunks, self.avgdl
+        sha = self._manifest_sha()
+        lo, hi = term_range if term_range is not None else (None, None)
+        try:
+            todo = _ray.get(
+                store.hydration_todo.remote(list(dirpaths), sha, lo, hi)
+            )
+        except Exception:
+            return
+        if len(todo) < 2:
+            return  # 0/1 dirs: inline is as fast as a task round-trip
+
+        def hyd(dd: str) -> bool:
+            import sys
+
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            import ray as _r
+
+            from microfts_ray.pipelines.query import _hydrate_contribs as hc
+
+            ent = _r.get(store.get_dir.remote(dd))
+            if ent is None:
+                return False
+            meta, _kref, cref, _v = ent
+            if meta.get("fmt") != 2:
+                return False
+            payload = _r.get(cref) if isinstance(cref, _r.ObjectRef) else cref
+            c = hc(meta, payload[0], payload[1], n_chunks, avgdl)
+            ref = _r.put(c, _owner=store)
+            _r.get(store.put_hydrated.remote(dd, [ref]))
+            return True
+
+        remote = _ray.remote(num_cpus=1)(hyd)
+        futs = [remote.remote(dd) for dd in todo]
+        # generous bound; stragglers keep running and park for later
+        # readers — load_one hydrates any still-missing dir inline
+        _ray.wait(futs, num_returns=len(futs), timeout=60.0)
 
     def _hydrated_contribs(self, store, dd: str, meta: dict, payload):
         """Shared exact-f64 contribs for a compact (fmt 2) warm dir:
@@ -3762,6 +3826,45 @@ class _WarmStoreImpl:
     def get_hydrated(self, dirpath: str):
         ref = getattr(self, "_hydr", {}).get(dirpath)
         return [ref] if ref is not None else None
+
+    def hydration_todo(
+        self, dirpaths: list, sha: str,
+        lo: int | None = None, hi: int | None = None,
+    ) -> list:
+        """Batched pre-pass filter for the hydration fan-out: which of
+        these dirs hold un-hydrated fmt-2 entries of this generation
+        (optionally intersecting [lo, hi))? One RPC instead of one
+        get_dir per dir. Returned dirs are CLAIMED (120 s expiry): a
+        non-sharded pool's actors all prewarm concurrently, and
+        without the claim each would fan out its own duplicate task
+        set — later claimants get [] and hydrate inline on a miss,
+        which is the pre-fan-out status quo."""
+        import time as _time
+
+        hyd = getattr(self, "_hydr", {})
+        claims = getattr(self, "_hydr_claims", None)
+        if claims is None:
+            claims = self._hydr_claims = {}
+        now = _time.monotonic()
+        out = []
+        for dd in dirpaths:
+            ent = self._dirs.get(dd)
+            if ent is None or dd in hyd:
+                continue
+            if now - claims.get(dd, -1e18) < 120.0:
+                continue  # another loader's fan-out is in flight
+            meta = ent[0]
+            if meta.get("fmt") != 2 or not meta.get("terms"):
+                continue
+            if meta.get("manifest_sha") != sha:
+                continue
+            if lo is not None and "lo" in meta and (
+                meta["hi"] <= lo or meta["lo"] >= hi
+            ):
+                continue
+            claims[dd] = now
+            out.append(dd)
+        return out
 
     def put_shared(self, sha: str, ref_w) -> bool:
         """Park the merge's warm SHARED TUPLE ref (dense space,

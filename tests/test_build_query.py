@@ -641,6 +641,57 @@ def test_warm_compact_hydration_bit_identical(reader):
         assert n == ck.size
 
 
+def test_prehydrate_fans_out_and_shares(corpus_dir, tmp_path_factory, oracle):
+    """The first loader of a compact generation fans the per-dir
+    contrib hydration out as Ray tasks that park results in the warm
+    store: after one _load_warmcache every needed fmt-2 dir has a
+    memoized hydrated ref (so pool actors share ONE plasma copy and
+    hydration_todo returns empty for the next reader), and serving
+    stays oracle-identical."""
+    import glob
+    import json
+    import os
+
+    import ray as _ray
+
+    from microfts_ray.pipelines.merge import merge_index
+    from microfts_ray.pipelines.query import _warmstore
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("hydr"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    merge_index(idx, n_shards=4, emit_warm=True, warm_inline=True,
+                warm_min_entries=50)
+    r = IndexReader(idx)
+    assert r._load_warmcache(min_entries=50)
+    store = _warmstore()
+    assert store is not None
+    sha = r._manifest_sha()
+    markers = glob.glob(os.path.join(idx, "warmcache", "*", "sharded.json"))
+    assert len(markers) == 1
+    gen_dir = os.path.dirname(markers[0])
+    with open(markers[0]) as f:
+        names = json.load(f)["dirs"]
+    dirs = [os.path.join(gen_dir, n) for n in names]
+    # every non-empty fmt-2 dir is hydrated in the store now...
+    for dd in dirs:
+        with open(os.path.join(dd, "meta.json")) as f:
+            meta = json.load(f)
+        if meta.get("fmt") == 2 and meta["terms"]:
+            assert _ray.get(store.get_hydrated.remote(dd)) is not None, dd
+    # ...so a second reader has nothing left to hydrate
+    assert _ray.get(store.hydration_todo.remote(dirs, sha)) == []
+    r2 = IndexReader(idx)
+    assert r2._load_warmcache(min_entries=50)
+    for q in ["def", "import mod_1"]:
+        got = r2.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ]
+
+
 def test_write_warm_dir_compact_dtype_guards(tmp_path):
     """Per-dir integer downcasts must widen when values overflow the
     narrow type (a wrapped tf/dl would silently corrupt scores), and
