@@ -865,9 +865,20 @@ class IndexReader:
         load_one's _hydrated_contribs finds them already shared; any
         missing/failed dir just hydrates inline as before. Pool
         actors after the first hit the memoized refs and skip all of
-        this (hydration_todo returns empty)."""
+        this (hydration_todo returns empty).
+
+        PROBE-GATED: at healthy single-stream bandwidth the whole
+        inline hydration is sub-second (~1.3 GB of sequential
+        reads+writes), while the fan-out pays worker cold-starts —
+        measured 8-12 s of query_warmup when 32 per-dir tasks spawned
+        at a healthy bus. So the fan-out engages only inside a
+        collapse (where inline would be 10-20 s and each task's own
+        process escapes the per-process episode), and dirs are
+        CHUNKED into at most 8 tasks to bound the spawn cost."""
         if store is None or len(dirpaths) < 2:
             return
+        if _cached_gbps(ttl=5.0) >= 1.5:
+            return  # healthy ambient: inline hydration is sub-second
         import ray as _ray
 
         from .build import _pkg_root
@@ -885,7 +896,7 @@ class IndexReader:
         if len(todo) < 2:
             return  # 0/1 dirs: inline is as fast as a task round-trip
 
-        def hyd(dd: str) -> bool:
+        def hyd(dds: list) -> int:
             import sys
 
             if pkg_root not in sys.path:
@@ -894,20 +905,27 @@ class IndexReader:
 
             from microfts_ray.pipelines.query import _hydrate_contribs as hc
 
-            ent = _r.get(store.get_dir.remote(dd))
-            if ent is None:
-                return False
-            meta, _kref, cref, _v = ent
-            if meta.get("fmt") != 2:
-                return False
-            payload = _r.get(cref) if isinstance(cref, _r.ObjectRef) else cref
-            c = hc(meta, payload[0], payload[1], n_chunks, avgdl)
-            ref = _r.put(c, _owner=store)
-            _r.get(store.put_hydrated.remote(dd, [ref]))
-            return True
+            n_done = 0
+            for dd in dds:
+                ent = _r.get(store.get_dir.remote(dd))
+                if ent is None:
+                    continue
+                meta, _kref, cref, _v = ent
+                if meta.get("fmt") != 2:
+                    continue
+                payload = (
+                    _r.get(cref) if isinstance(cref, _r.ObjectRef) else cref
+                )
+                c = hc(meta, payload[0], payload[1], n_chunks, avgdl)
+                ref = _r.put(c, _owner=store)
+                _r.get(store.put_hydrated.remote(dd, [ref]))
+                n_done += 1
+            return n_done
 
+        n_tasks = min(8, len(todo))
+        chunks = [todo[i::n_tasks] for i in range(n_tasks)]
         remote = _ray.remote(num_cpus=1)(hyd)
-        futs = [remote.remote(dd) for dd in todo]
+        futs = [remote.remote(c) for c in chunks if c]
         # generous bound; stragglers keep running and park for later
         # readers — load_one hydrates any still-missing dir inline
         _ray.wait(futs, num_returns=len(futs), timeout=60.0)
