@@ -50,6 +50,59 @@ def test_snapshot_diff_classes(setup):
     assert len(diff["deleted"]) == 5
 
 
+def test_update_then_warm_merge_serves_oracle_identical(setup):
+    """Warm emission over an UPDATED index (tombstoned old versions +
+    rank-encoded delta rows) must serve bit-identically to an oracle
+    of the post-update corpus: the compact (fmt 2) warm dirs are
+    built through the rewrite-aware decode/translate path and the
+    tombstone mask still applies over warm entries."""
+    rows, src, idx, tmp = setup
+    from microfts_ray.pipelines.merge import merge_index
+
+    v2 = [dict(r) for r in rows]
+    v2[0] = {**v2[0], "commit": "a" * 40,
+             "content": "def warmed_fn(z):\n    return z\n"}
+    v2 = v2[:-3]  # delete last three
+    v2 += gen_table(400, 2).to_pylist()  # add two
+    src2 = str(tmp / "v2w.parquet")
+    _write(v2, src2)
+    apply_update(idx, [src2], target_rows_per_part=10)
+    merge_index(idx, n_shards=4, emit_warm=True, warm_inline=True,
+                warm_min_entries=20)
+    # pre-compact stats legitimately drift from a fresh corpus (the
+    # tombstoned old versions still count in avgdl/N — see
+    # test_compact_then_update_keeps_stats_sane), so the invariant
+    # here is warm-path ≡ decode-path BIT-identity on the SAME index,
+    # plus tombstoned docs staying invisible.
+    r = IndexReader(idx)
+    assert r._load_warmcache(min_entries=20)
+    assert r._sorted_kc, "no warm terms loaded from the updated index"
+    r_ref = IndexReader(idx)  # decode path: no warm cache loaded
+    dead_ids = set(int(t) for t in r.manifest.get("tombstones", []))
+    assert dead_ids, "update must have tombstoned the old versions"
+    for q in ["def", "warmed_fn", "import"]:
+        got = r.bm25_topk(q, k=10)
+        want = r_ref.bm25_topk(q, k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ], q
+        assert not any(h["doc_id"] in dead_ids for h in got), q
+    # after compact (exact stats restored) the warm-merged index must
+    # match the post-update oracle exactly
+    compact(idx, n_shards=4)
+    merge_index(idx, n_shards=4, emit_warm=True, warm_inline=True,
+                warm_min_entries=20)
+    oracle = OracleIndex.build(v2)
+    r2 = IndexReader(idx)
+    assert r2._load_warmcache(min_entries=20)
+    for q in ["def", "warmed_fn", "import"]:
+        got = r2.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ], q
+
+
 def test_update_then_compact_equals_fresh_build(setup):
     rows, src, idx, tmp = setup
     v2 = [dict(r) for r in rows]
