@@ -416,6 +416,21 @@ def run_suite() -> dict:
         queries[name] = round(time.perf_counter() - t0, 3)
 
     shutil.rmtree(b["index_dir"], ignore_errors=True)
+    # evict this run's parked warm dirs + index/source file bytes from
+    # the (session-wide) warm store: with BENCH_RUNS > 1 a previous
+    # run's dead entries would otherwise pin the 4 GiB file budget and
+    # starve the next run's parks — the headline would then be decided
+    # by cache-pollution luck, not the engine
+    try:
+        import ray as _ray
+
+        from microfts_ray.pipelines.query import _warmstore
+
+        store = _warmstore()
+        if store is not None:
+            _ray.get(store.drop_prefix.remote(b["index_dir"]))
+    except Exception:
+        pass
     total = round(sum(queries.values()), 3)
     return {
         "metric": "index build files/sec + BM25 p50 + pipeline suite wall sec",

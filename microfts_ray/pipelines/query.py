@@ -81,6 +81,20 @@ FUZZY_SCHEMA = pa.schema(
 _WARM_SLICE_ENTRIES = 131_072
 
 
+def _warm_tasks_env(default: int = 6) -> int:
+    """MICROFTS_WARM_TASKS, hardened for the query hot path: a
+    malformed value must not raise out of bm25_topk, and 0/negative
+    would silently produce an empty fan-out (no warm at all, worse
+    than inline) — clamp to >= 1."""
+    import os
+
+    try:
+        v = int(os.environ.get("MICROFTS_WARM_TASKS", str(default)))
+    except ValueError:
+        return default
+    return max(1, v)
+
+
 def _idf_val(n_chunks: int, df: int) -> float:
     """BM25 idf — module-level so the compact warm cache's load-time
     contrib recompute and IndexReader._idf are literally the same
@@ -803,14 +817,24 @@ class IndexReader:
                 keys = np.load(os.path.join(dd, "keys.npy"), mmap_mode="r")
                 if meta.get("fmt") == 2:
                     # restart fallback for the compact layout: mmap
-                    # the integer tf/dl and recompute exact contribs
-                    # PRIVATELY (no store to share through — the
-                    # plasma path above shares one copy per node)
+                    # the integer tf/dl and recompute exact contribs.
+                    # With a live (fresh) store the hydrated array is
+                    # parked back so the rest of the pool still shares
+                    # ONE plasma copy per node — each actor privately
+                    # materializing ~8 B/posting of f64 would be an
+                    # N-copy RSS spike the fmt-1 mmap never had. Only
+                    # a store-less process (MICROFTS_WARMSTORE=0 /
+                    # no Ray) hydrates privately.
                     tf = np.load(os.path.join(dd, "tf.npy"), mmap_mode="r")
                     dlv = np.load(os.path.join(dd, "dl.npy"), mmap_mode="r")
-                    contribs = _hydrate_contribs(
-                        meta, tf, dlv, self.n_chunks, self.avgdl
-                    )
+                    if store is not None:
+                        contribs = self._hydrated_contribs(
+                            store, dd, meta, (tf, dlv)
+                        )
+                    else:
+                        contribs = _hydrate_contribs(
+                            meta, tf, dlv, self.n_chunks, self.avgdl
+                        )
                 else:
                     contribs = np.load(
                         os.path.join(dd, "contribs.npy"), mmap_mode="r"
@@ -1524,7 +1548,7 @@ class IndexReader:
         # (driver-side rebuild + re-put was the ~20 s single-process
         # tax the park avoids; worker-side it runs at worker ambient)
         shared_ref = self._parked_shared_ref()
-        per_host = int(_os.environ.get("MICROFTS_WARM_TASKS", "6"))
+        per_host = _warm_tasks_env()
         n_tasks = min(per_host, len(missing))
         chunks = [sorted(missing)[i::n_tasks] for i in range(n_tasks)]
         self._fan_out_warm(chunks, shared_ref)
@@ -1609,7 +1633,7 @@ class IndexReader:
                 shared_ref = _ray.put(
                     (self._dense, dl_space, self._warm_maps())
                 )
-            per_host = int(_os.environ.get("MICROFTS_WARM_TASKS", "6"))
+            per_host = _warm_tasks_env()
             n_tasks = min(per_host, max(1, len(cands)))
             if self._shard_bounds is not None:
                 terms_arr = np.array(sorted(cands), dtype=np.int64)
@@ -1856,7 +1880,7 @@ class IndexReader:
             # (hosts x per-host useful decode streams) after probing.
             import os as _os
 
-            per_host = int(_os.environ.get("MICROFTS_WARM_TASKS", "6"))
+            per_host = _warm_tasks_env()
             n_tasks = min(per_host, max(1, len(todo) // 2))
             if self._shard_bounds is not None:
                 terms_arr = np.array(todo, dtype=np.int64)
@@ -3811,6 +3835,7 @@ class _WarmStoreImpl:
             int(t): _ray.put(v) for t, v in (vecs or {}).items()
         }
         self._dirs[dirpath] = (meta, _ray.put(keys), _ray.put(contribs), vrefs)
+        self._drop_hydrated(dirpath)
         return True
 
     def put_dir_refs(
@@ -3823,7 +3848,18 @@ class _WarmStoreImpl:
         arrive LIST-WRAPPED: a top-level ObjectRef argument would be
         auto-dereferenced by Ray before the method ran."""
         self._dirs[dirpath] = (meta, kref_w[0], cref_w[0], dict(vrefs))
+        self._drop_hydrated(dirpath)
         return True
+
+    def _drop_hydrated(self, dirpath: str) -> None:
+        """A re-put REPLACES a dir's entry (deeper re-emission at the
+        same path, e.g. emit_warm_cache with a smaller min_entries):
+        a memoized hydrated-contribs ref from the OLD entry would be
+        sliced with the NEW meta's offsets — wrong scores or
+        out-of-bounds gathers — so parking a dir always invalidates
+        its hydration (and any in-flight claim)."""
+        getattr(self, "_hydr", {}).pop(dirpath, None)
+        getattr(self, "_hydr_claims", {}).pop(dirpath, None)
 
     def get_dir(self, dirpath: str):
         return self._dirs.get(dirpath)
@@ -3915,14 +3951,31 @@ class _WarmStoreImpl:
 
         if path in self._files:
             return True
+        refused = getattr(self, "_park_refused", None)
+        if refused is None:
+            refused = self._park_refused = set()
+        if path in refused:
+            return False  # negative cache: don't re-read a refusal
         try:
-            if os.path.getsize(path) > max_bytes:
+            size = os.path.getsize(path)
+            if size > max_bytes:
+                refused.add(path)
+                return False
+            if self._file_bytes + size > self._file_budget:
+                # budget check BEFORE the read: reading the whole
+                # file inside the actor only to refuse it would
+                # repeat a futile multi-second disk read for every
+                # scan task of every query once the budget fills
+                refused.add(path)
                 return False
             with open(path, "rb") as f:
                 data = _np.frombuffer(f.read(), dtype=_np.uint8)
         except OSError:
             return False
-        return self.put_file_bytes(path, data)
+        ok = self.put_file_bytes(path, data)
+        if not ok:
+            refused.add(path)
+        return ok
 
     def put_file_bytes(self, path: str, data) -> bool:
         """Park one index file's bytes (keyed by absolute path).
@@ -3939,6 +3992,7 @@ class _WarmStoreImpl:
             return False
         self._files[path] = (_ray.put(data), len(data))
         self._file_bytes += len(data)
+        getattr(self, "_park_refused", set()).discard(path)
         return True
 
     def file_refs(self, paths: list) -> list:
@@ -4002,9 +4056,18 @@ class _WarmStoreImpl:
         meta = dict(e[0])
         meta["manifest_sha"] = sha
         self._dirs[dst] = (meta,) + tuple(e[1:])
+        self._drop_hydrated(src)
+        self._drop_hydrated(dst)
         return True
 
     def drop_prefix(self, prefix: str) -> int:
+        """Evict everything parked under a path prefix: warm dirs,
+        their hydrated contribs, parked FILE bytes (freeing their
+        budget), and park refusals (a refusal may become parkable once
+        the freed budget admits it). Called when a generation is swept
+        — and by multi-run benches between runs, whose per-run tmp
+        index dirs would otherwise pin the 4 GiB file budget with dead
+        entries and starve the next run's parks."""
         gone = [k for k in self._dirs if k.startswith(prefix)]
         for k in gone:
             del self._dirs[k]
@@ -4012,6 +4075,12 @@ class _WarmStoreImpl:
         if hyd is not None:
             for k in [k for k in hyd if k.startswith(prefix)]:
                 del hyd[k]
+        for k in [k for k in self._files if k.startswith(prefix)]:
+            self._file_bytes -= self._files[k][1]
+            del self._files[k]
+        refused = getattr(self, "_park_refused", None)
+        if refused is not None:
+            refused.clear()
         return len(gone)
 
 
@@ -4176,7 +4245,9 @@ def _source_parquet(path: str, max_park: int = 64 << 20):
             except Exception:
                 buf = False
         # cache a hit permanently; re-check the store next call on a
-        # miss (the fire-and-forget park may have landed)
+        # miss — the park can fail transiently (budget refusal later
+        # freed by drop_prefix, store restart) and a later call may
+        # then land it
         if buf is not False:
             _SRC_BUF_CACHE[apath] = buf
     if buf is False or buf is None:

@@ -692,6 +692,71 @@ def test_prehydrate_fans_out_and_shares(corpus_dir, tmp_path_factory, oracle):
         ]
 
 
+def test_reemit_deeper_invalidates_stale_hydration(corpus_dir, tmp_path_factory, oracle):
+    """Re-emitting a warm dir AT THE SAME PATH with a smaller
+    min_entries (deeper cache) replaces the store entry; a hydrated
+    contribs ref memoized for the OLD entry must be invalidated, or
+    the next loader would slice the old (shorter) f64 array with the
+    new meta's offsets — wrong scores or out-of-bounds gathers."""
+    import glob
+    import os
+
+    import ray as _ray
+
+    from microfts_ray.pipelines.merge import merge_index
+    from microfts_ray.pipelines.query import _warmstore, emit_warm_cache
+
+    paths = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
+    tmp = str(tmp_path_factory.mktemp("reemit"))
+    idx = f"{tmp}/idx"
+    build_index(paths, idx, target_rows_per_part=30)
+    merge_index(idx, n_shards=4)
+    emit_warm_cache(idx, min_entries=200)
+    r1 = IndexReader(idx)
+    assert r1._load_warmcache(min_entries=200)  # hydrates + parks
+    n_shallow = len(r1._sorted_kc)
+    # deeper re-emit at the SAME dir paths: drop the generation
+    # marker (emit_warm_cache's no-op guard) so every dir re-emits —
+    # _warm_dir_done returns -1 for each (200 > 20) and put_dir_refs
+    # REPLACES the store entries the hydrations were memoized for
+    marker = glob.glob(os.path.join(idx, "warmcache", "*", "sharded.json"))[0]
+    os.remove(marker)
+    emit_warm_cache(idx, min_entries=20)
+    r2 = IndexReader(idx)
+    assert r2._load_warmcache(min_entries=20)
+    assert len(r2._sorted_kc) > n_shallow, "deeper cache not re-emitted"
+    # every warm term's (keys, contribs) must match a fresh decode
+    # bit-for-bit — a stale hydration would misalign the slices
+    r_ref = IndexReader(idx)
+    assert r_ref._dense_space() is not None
+    for t in sorted(r2._sorted_kc):
+        sk_ref = r_ref._sorted_keys(t)
+        k, c = r2._sorted_kc[t]
+        assert np.array_equal(np.asarray(k, dtype=np.int64), sk_ref[0]), t
+        assert np.array_equal(np.asarray(c), sk_ref[1]), t
+    for q in ["def", "import mod_1"]:
+        got = r2.bm25_topk(q, k=10)
+        want = oracle.bm25_topk(q, k=10)
+        assert [(h["doc_id"], h["chunk_id"], h["score"]) for h in got] == [
+            (h["doc_id"], h["chunk_id"], h["score"]) for h in want
+        ], q
+    # unit-level: a re-put at the same path clears the memoized ref
+    store = _warmstore()
+    dd = "/tmp/fake_dir_hyd"
+    meta = {"terms": [1], "offsets": [0, 1], "manifest_sha": "x", "fmt": 2}
+    _ray.get(store.put_dir.remote(dd, meta, np.array([3], np.int32),
+                                  (np.array([1], np.uint16),
+                                   np.array([4], np.uint16))))
+    ref = _ray.put(np.array([0.5]))
+    _ray.get(store.put_hydrated.remote(dd, [ref]))
+    assert _ray.get(store.get_hydrated.remote(dd)) is not None
+    _ray.get(store.put_dir.remote(dd, meta, np.array([3, 5], np.int32),
+                                  (np.array([1, 2], np.uint16),
+                                   np.array([4, 4], np.uint16))))
+    assert _ray.get(store.get_hydrated.remote(dd)) is None
+    _ray.get(store.drop_prefix.remote(dd))
+
+
 def test_write_warm_dir_compact_dtype_guards(tmp_path):
     """Per-dir integer downcasts must widen when values overflow the
     narrow type (a wrapped tf/dl would silently corrupt scores), and
